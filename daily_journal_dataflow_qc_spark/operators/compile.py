@@ -1,0 +1,214 @@
+"""Final row-set compilation: accepted / rejected / flagged (issues).
+
+Graft of diary_qc_compilation.py (accepted + rejected sets) and
+journal_outputs_error_check.py + subject_summaries_update.sh (the issues log).
+Error-message strings are preserved verbatim from the reference — they are
+part of the output contract (SURVEY.md §7.3.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+
+# reference message strings (journal_outputs_error_check.py:76-182;
+# phone_transcript_redaction.py:70)
+MSG_PENDING = "File has been pending return from TranscribeMe for over 2 weeks now"
+MSG_ORPHAN_RETURN = "MP3 found without a matching JSON record"
+MSG_REQUEST_NO_QC = (
+    "File appears to have been sent to TranscribeMe but can not find a unique "
+    "entry in audio QC for it now"
+)
+MSG_MISSING_REQUEST = "File should exist based on MindLAMP JSON data but no MP3 actually found"
+MSG_REDACTION_VIOLATION = "Redaction convention violated in file, please review manually"
+
+REJECTED_COLS = [
+    "conv_id",
+    "day",
+    "daily_submission_number",
+    "overall_db",
+    "length_minutes",
+    "submit_hour_int",
+    "subject_consent_month",
+]
+
+# column order of the merged accepted set (graft of README.md:595-611 /
+# diary_qc_compilation.py:136-185)
+ACCEPTED_COLS = [
+    "conv_id",
+    "day",
+    "timeofday",
+    "weekday",
+    "daily_submission_number",
+    "submit_hour_int",
+    "length_minutes",
+    "overall_db",
+    "mean_flatness",
+    "subject_consent_month",
+    "audio_approved_bool",
+    # transcript QC block
+    "speakerID_count",
+    "S1_sentence_count",
+    "total_sentence_count",
+    "word_count",
+    "min_words_in_sen",
+    "max_words_in_sen",
+    "inaudible_count",
+    "questionable_count",
+    "other_bracketed_notation_count",
+    "redacted_count",
+    "final_timestamp_minutes",
+    "min_timestamp_space_seconds",
+    "max_timestamp_space_seconds",
+    "min_timestamp_space_per_word",
+    "max_timestamp_space_per_word",
+    "txt_encoding_type",
+    "redacted_csv_filename",
+    # disfluency block
+    "transcript_csv_name",
+    "nonverbal_edits_count",
+    "verbal_edits_count",
+    "repeats_count",
+    "restarts_count",
+    "total_disfluencies",
+    "nonverbal_edits_per_word",
+    "verbal_edits_per_word",
+    "repeats_per_word",
+    "restarts_per_word",
+    "disfluencies_per_minute",
+    # metadata block (carried on the diary row; reference re-joins it, J3/J4)
+    "submit_minute_int",
+    "local_time_converted",
+    "timezone_used",
+    "consent_date_at_accounting",
+    "expected_language",
+    "proposed_processed_name",
+    "date_mp3_first_detected",
+]
+
+
+def rejected_set(audio_qc_df: DataFrame) -> DataFrame:
+    """diary_qc_compilation.py:110-120 — the rejected-audio data log."""
+    return (
+        audio_qc_df.filter(F.col("audio_approved_bool") != 1)
+        .select(*REJECTED_COLS)
+        .orderBy("conv_id", "day", "daily_submission_number")
+    )
+
+
+def accepted_set(
+    audio_qc_df: DataFrame, transcript_qc_df: DataFrame, disfluencies_df: DataFrame
+) -> DataFrame:
+    """diary_qc_compilation.py:136-185 — accepted diaries with full QC+metadata.
+
+    J1: audio QC left-join transcript QC on the identity columns;
+    J2: left-join disfluencies (redundant columns dropped first);
+    J3/J4 metadata joins are unnecessary here because the engine carries the
+    accounting columns on the diary row (same result, two fewer shuffles) —
+    the join operators themselves are exercised in __spark_entry__ queries.
+    P8: keep daily_submission_number == 1, dedup days.
+    """
+    acc = audio_qc_df.filter(F.col("audio_approved_bool") == 1)
+    t = transcript_qc_df.drop("session_id", "filename")
+    merged = acc.join(
+        t, ["conv_id", "day", "timeofday", "weekday", "daily_submission_number"], "left"
+    )
+    d = disfluencies_df.drop(
+        "session_id", "filename", "length_minutes", "total_word_count"
+    )
+    merged = merged.join(d, ["conv_id", "day", "daily_submission_number"], "left")
+    merged = merged.withColumns(
+        {
+            "local_time_converted": F.date_format("local_time", "yyyy-MM-dd HH:mm:ss"),
+            "timezone_used": F.col("timezone"),
+            "consent_date_at_accounting": F.date_format("consent_date", "yyyy-MM-dd"),
+            "expected_language": F.col("language"),
+            "proposed_processed_name": F.col("filename"),
+            "date_mp3_first_detected": F.date_format(F.to_date("session_end"), "yyyy-MM-dd"),
+        }
+    )
+    merged = merged.filter(
+        F.col("day").isNotNull() & F.col("daily_submission_number").isNotNull()
+    ).filter(F.col("daily_submission_number") == 1)
+    w = Window.partitionBy("conv_id", "day").orderBy("daily_submission_number", "local_time")
+    merged = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return merged.select(*ACCEPTED_COLS).orderBy("conv_id", "day")
+
+
+def issues_set(
+    audio_qc_df: DataFrame,
+    requests: DataFrame,
+    returns: DataFrame,
+    violated_diaries: DataFrame,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """The major-issues log (flagged row set), deduped keeping the earliest
+    detection date (journal_outputs_error_check.py:199-214, O4)."""
+    today = F.lit(cfg.compute_date_str)
+    accepted_keys = audio_qc_df.filter(F.col("audio_approved_bool") == 1).select(
+        "conv_id", F.col("filename").alias("request_key")
+    )
+    req = requests.select("conv_id", "request_key", "ts")
+    ret = returns.select("conv_id", "request_key")
+
+    def flag(df: DataFrame, stage: str, msg: str) -> DataFrame:
+        return df.select(
+            today.alias("date_detected"),
+            "conv_id",
+            F.col("request_key").alias("filename"),
+            F.lit(stage).alias("file_stage"),
+            F.lit(msg).alias("error_message"),
+        )
+
+    # J7: request with no return, older than the deadline -> pending flag
+    pending = flag(
+        req.join(ret, ["conv_id", "request_key"], "left_anti").filter(
+            F.datediff(F.to_date(today), F.to_date("ts")) >= cfg.pending_deadline_days
+        ),
+        "pre-transcript",
+        MSG_PENDING,
+    )
+    # J6: return with no request (orphan)
+    orphan = flag(
+        ret.join(req, ["conv_id", "request_key"], "left_anti"),
+        "pre-wav",
+        MSG_ORPHAN_RETURN,
+    )
+    # J6: request whose diary is not in the accepted audio QC set
+    no_qc = flag(
+        req.join(accepted_keys, ["conv_id", "request_key"], "left_anti"),
+        "post-audioQC",
+        MSG_REQUEST_NO_QC,
+    )
+    # J6: accepted tool-tagged diary with no request record
+    missing_req = flag(
+        audio_qc_df.filter(
+            (F.col("audio_approved_bool") == 1) & F.col("has_tool_tag")
+        )
+        .select("conv_id", F.col("filename").alias("request_key"))
+        .join(req, ["conv_id", "request_key"], "left_anti"),
+        "pre-wav",
+        MSG_MISSING_REQUEST,
+    )
+    # redaction violations (phone_transcript_redaction.py:69-72)
+    violation = flag(
+        violated_diaries.select("conv_id", F.col("filename").alias("request_key")),
+        "pre-redaction",
+        MSG_REDACTION_VIOLATION,
+    )
+
+    all_issues = pending.unionByName(orphan).unionByName(no_qc).unionByName(
+        missing_req
+    ).unionByName(violation)
+    # O4: keep-earliest dedup on the full issue identity
+    w = Window.partitionBy(
+        "conv_id", "filename", "file_stage", "error_message"
+    ).orderBy("date_detected")
+    return (
+        all_issues.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("date_detected", "conv_id", "filename", "file_stage")
+    )

@@ -1,0 +1,485 @@
+"""Pure-pandas oracle reimplementing the reference row semantics.
+
+This module is the correctness authority for the pytest parity suite
+(SURVEY.md §5.2.1). It mirrors the REFERENCE's formulas (the pandas list
+comprehensions of transcript_diary_qc.py / phone_transcript_sentence_stats.py
+etc.), deliberately NOT the Spark expressions, so the two implementations
+cross-check each other.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from zoneinfo import ZoneInfo
+
+import numpy as np
+import pandas as pd
+
+from ..config import PipelineConfig
+
+_NONVERBAL_RE = re.compile(r"[^a-z]u+[hm]+[^a-z]")
+
+
+# ------------------------------------------------------------- redaction
+
+def _redaction_violated(line: str) -> bool:
+    """Brace-convention violation spec (phone_transcript_redaction.py:56-98):
+    every inner '{'-segment must contain exactly one '}'; the final segment
+    must be non-empty and either end with '}' or contain exactly one '}'."""
+    parts = line.split("{")
+    if len(parts) == 1:
+        return False
+    for seg in parts[1:-1]:
+        if seg.count("}") != 1:
+            return True
+    last = parts[-1]
+    if last == "":
+        return True
+    if last.endswith("}"):
+        return False
+    return last.count("}") != 1
+
+
+def _redact_valid_line(line: str) -> str:
+    """Rebuild a valid line with brace contents word-wise REDACTED.
+
+    Scanning formulation equivalent to the reference's split-and-rebuild:
+    for each '{' group, the redacted word count is the number of
+    space-separated tokens of the raw segment up to and including its
+    terminator; a line-final group ending in '}' counts the whole tail."""
+    parts = line.split("{")
+    if len(parts) == 1:
+        return line
+    pieces = [parts[0], "{"]
+    for seg in parts[1:-1]:
+        before, after = seg.split("}")  # exactly one '}' guaranteed by caller
+        n = len(before.split(" "))
+        pieces.append(" ".join(["REDACTED"] * n) + "}")
+        pieces.append(after + "{")
+    last = parts[-1]
+    if last.endswith("}"):
+        n = len(last.split(" "))
+        pieces.append(" ".join(["REDACTED"] * n) + "}")
+    else:
+        before, after = last.split("}")
+        n = len(before.split(" "))
+        pieces.append(" ".join(["REDACTED"] * n) + "}" + after)
+    return "".join(pieces)
+
+
+def _normalize(text: str) -> str:
+    return text.replace("\t", " ").replace("\r", " ").rstrip()
+
+
+# ------------------------------------------------------------- identity
+
+def _local(ts: pd.Timestamp, tz: str) -> dt.datetime:
+    return ts.tz_localize("UTC").tz_convert(ZoneInfo(tz)).to_pydatetime()
+
+
+def _day_fields(local: dt.datetime, consent: dt.date, shift_hour: int) -> dict:
+    literal_day = (local.date() - consent).days + 1
+    h = local.hour
+    day = literal_day - 1 if h < shift_hour else literal_day
+    hour_adj = h + 24 if h < shift_hour else h
+    wd = ((local.weekday() + 2) % 7) + 1  # DPDash convention
+    if h < shift_hour:
+        wd = wd - 1 if wd > 1 else 7
+    return {
+        "day": day,
+        "submit_hour_int": hour_adj,
+        "weekday": wd,
+        "timeofday": local.strftime("%H:%M:%S"),
+        "submit_minute_int": local.minute,
+        "local_time_converted": local.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+
+
+def compute(
+    transcripts: pd.DataFrame,
+    tool_calls: pd.DataFrame,
+    conv_meta: pd.DataFrame,
+    cfg: PipelineConfig,
+) -> dict[str, pd.DataFrame]:
+    """Return {accepted, rejected, issues, turn_stats, audio_qc} DataFrames."""
+    gap_sec = cfg.session_gap_minutes * 60
+
+    # dedup (keep earliest arrival per conv/turn) then sessionize per conv
+    t = transcripts.sort_values(["conv_id", "turn_idx", "ts"]).drop_duplicates(
+        ["conv_id", "turn_idx"], keep="first"
+    )
+    t = t.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    gaps = t.groupby("conv_id")["ts"].diff().dt.total_seconds()
+    t["session_id"] = ((gaps.isna()) | (gaps > gap_sec)).astype(int).groupby(t["conv_id"]).cumsum()
+
+    meta = conv_meta.set_index("conv_id")
+
+    # diary identity per (conv, session)
+    diaries = (
+        t.groupby(["conv_id", "session_id"])
+        .agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_turns=("ts", "size"),
+            has_tool_tag=("tool", lambda s: s.notna().any()),
+        )
+        .reset_index()
+    )
+    rows = []
+    for r in diaries.itertuples():
+        m = meta.loc[r.conv_id]
+        consent = m["consent_date"]
+        if consent is None or (isinstance(consent, float) and np.isnan(consent)) or pd.isna(consent):
+            continue
+        consent = pd.Timestamp(consent).date()
+        local = _local(pd.Timestamp(r.session_start), m["timezone"])
+        f = _day_fields(local, consent, cfg.day_shift_hour)
+        corrupted = pd.isna(m["db_level"]) or pd.isna(m["duration_sec"])
+        rows.append(
+            {
+                "conv_id": r.conv_id,
+                "session_id": r.session_id,
+                "session_start": r.session_start,
+                "session_end": r.session_end,
+                "has_tool_tag": bool(r.has_tool_tag),
+                **f,
+                "length_minutes": None if corrupted else round(float(m["duration_sec"]) / 60.0, 3),
+                "overall_db": None if corrupted else round(float(m["db_level"]), 2),
+                "mean_flatness": None if corrupted else round(float(m["flatness"]), 4),
+                "duration_sec": None if corrupted else float(m["duration_sec"]),
+                "subject_consent_month": f"{consent.month:02d}/{consent.year}",
+                "consent_date_at_accounting": consent.strftime("%Y-%m-%d"),
+                "timezone_used": m["timezone"],
+                "expected_language": m["language"],
+            }
+        )
+    dqc = pd.DataFrame(rows)
+    dqc = dqc.sort_values(["conv_id", "day", "session_start"])
+    dqc["daily_submission_number"] = dqc.groupby(["conv_id", "day"]).cumcount() + 1
+    dqc["filename"] = [
+        f"{c}_audioJournal_day{int(d):04d}_submission{int(s)}.wav"
+        for c, d, s in zip(dqc["conv_id"], dqc["day"], dqc["daily_submission_number"])
+    ]
+    # acceptance predicate (audio_diary_qc.py:171-176)
+    dqc["audio_approved_bool"] = [
+        0
+        if pd.isna(db) or db < cfg.db_cutoff or sec < cfg.length_cutoff_sec or n > 1
+        else 1
+        for db, sec, n in zip(
+            dqc["overall_db"].astype(float),
+            dqc["duration_sec"].astype(float),
+            dqc["daily_submission_number"],
+        )
+    ]
+
+    # tool-call round trip
+    req = (
+        tool_calls[tool_calls["kind"] == "request"]
+        .sort_values("ts")
+        .drop_duplicates(["conv_id", "request_key"], keep="first")
+    )
+    ret = (
+        tool_calls[tool_calls["kind"] == "return"]
+        .sort_values("ts")
+        .drop_duplicates(["conv_id", "request_key"], keep="first")
+    )
+    req_keys = set(zip(req["conv_id"], req["request_key"]))
+    ret_keys = set(zip(ret["conv_id"], ret["request_key"]))
+
+    accepted_d = dqc[dqc["audio_approved_bool"] == 1]
+    returned = accepted_d[
+        [
+            (c, f) in req_keys and (c, f) in ret_keys
+            for c, f in zip(accepted_d["conv_id"], accepted_d["filename"])
+        ]
+    ]
+
+    # transcript side: redact, poison violated diaries, per-turn stats
+    turns = t.merge(
+        returned[
+            [
+                "conv_id",
+                "session_id",
+                "day",
+                "daily_submission_number",
+                "session_start",
+                "overall_db",
+                "filename",
+                "timeofday",
+                "weekday",
+            ]
+        ],
+        on=["conv_id", "session_id"],
+        how="inner",
+    )
+    norm = turns["text"].map(_normalize)
+    turns["violated"] = norm.map(_redaction_violated)
+    turns["text"] = [
+        None if v else _redact_valid_line(s) for s, v in zip(norm, turns["violated"])
+    ]
+    bad = turns.groupby(["conv_id", "session_id"])["violated"].transform("any")
+    violated_diaries = (
+        turns[bad][["conv_id", "session_id", "filename"]].drop_duplicates()
+    )
+    clean = turns[~bad].sort_values(["conv_id", "session_id", "ts", "turn_idx"]).copy()
+
+    # reference per-sentence formulas (phone_transcript_sentence_stats.py:160-217)
+    low = clean["text"].str.lower()
+    clean["word_count"] = [len(x.split(" ")) for x in low]
+    clean["inaudibles_and_questionables"] = [
+        x.count("?]") + x.count("[inaudible]") for x in low
+    ]
+    clean["other_bracketed_words"] = [
+        x.count("]") - x.count("?]") - x.count("[inaudible]") for x in low
+    ]
+    clean["redactions"] = [x.count("redacted") for x in low]
+    clean["nonverbal_edits"] = [
+        len(_NONVERBAL_RE.findall(" " + "  ".join(x.split(" ")) + " ")) for x in low
+    ]
+    clean["verbal_edits"] = [
+        x.count("like,") + x.count("you know,") + x.count("i mean,") for x in low
+    ]
+
+    def _stutter(x: str) -> int:
+        c = 0
+        for y in x.split(" "):
+            p = y.split("-")
+            if len(p) > 1 and len(p[0]) <= len(p[1]) and p[0] == p[1][: len(p[0])]:
+                c += 1
+        return c
+
+    clean["stutter_repeats"] = [_stutter(x) for x in low]
+    clean["word_repeats"] = [
+        sum(
+            1
+            for i in range(1, len(x.split(" ")))
+            if x.split(" ")[i - 1].replace(",", "") == x.split(" ")[i].replace(",", "")
+        )
+        for x in low
+    ]
+    clean["repeats"] = clean["stutter_repeats"] + clean["word_repeats"]
+    clean["restarts"] = [x.count("--") for x in low]
+
+    sec = (clean["ts"] - clean["session_start"]).dt.total_seconds()
+    clean["sec_from_start"] = sec
+    clean["minutes_from_start"] = sec / 60.0
+    nxt = clean.groupby(["conv_id", "session_id"])["sec_from_start"].shift(-1)
+    clean["inner_gap_seconds"] = nxt - clean["sec_from_start"]
+    clean["estimated_sentence_seconds"] = np.where(
+        nxt.notna(),
+        nxt - clean["sec_from_start"],
+        clean["overall_db"].astype(float) * 60.0 - clean["sec_from_start"],
+    )
+    clean["is_ascii"] = clean["text"].map(lambda s: s.isascii())
+
+    turn_stats = clean[
+        [
+            "conv_id",
+            "turn_idx",
+            "day",
+            "daily_submission_number",
+            "role",
+            "text",
+            "word_count",
+            "inaudibles_and_questionables",
+            "other_bracketed_words",
+            "redactions",
+            "estimated_sentence_seconds",
+            "nonverbal_edits",
+            "verbal_edits",
+            "stutter_repeats",
+            "word_repeats",
+            "repeats",
+            "restarts",
+        ]
+    ].sort_values(["conv_id", "turn_idx"])
+
+    # per-diary transcript QC (transcript_diary_qc.py:174-242)
+    def _tqc(g: pd.DataFrame) -> pd.Series:
+        gaps_list = g["inner_gap_seconds"].dropna().tolist()
+        per_word = (g["inner_gap_seconds"] / g["word_count"]).dropna().tolist()
+        return pd.Series(
+            {
+                "speakerID_count": g["role"].nunique(),
+                "S1_sentence_count": int((g["role"] == "S1").sum()),
+                "total_sentence_count": len(g),
+                "word_count": int(g["word_count"].sum()),
+                "min_words_in_sen": int(g["word_count"].min()),
+                "max_words_in_sen": int(g["word_count"].max()),
+                "inaudible_count": int(
+                    (g["inaudibles_and_questionables"] - _quest(g)).sum()
+                ),
+                "questionable_count": int(_quest(g).sum()),
+                "other_bracketed_notation_count": int(g["other_bracketed_words"].sum()),
+                "redacted_count": int(g["redactions"].sum()),
+                "final_timestamp_minutes": round(g["minutes_from_start"].max(), 3),
+                "min_timestamp_space_seconds": round(min(gaps_list), 3) if gaps_list else None,
+                "max_timestamp_space_seconds": round(max(gaps_list), 3) if gaps_list else None,
+                "min_timestamp_space_per_word": round(min(per_word), 3) if per_word else None,
+                "max_timestamp_space_per_word": round(max(per_word), 3) if per_word else None,
+                "txt_encoding_type": "ASCII" if g["is_ascii"].all() else "UTF-8",
+            }
+        )
+
+    def _quest(g: pd.DataFrame) -> pd.Series:
+        return g["text"].str.lower().str.count(r"\?\]")
+
+    group_cols = [
+        "conv_id",
+        "session_id",
+        "day",
+        "timeofday",
+        "weekday",
+        "daily_submission_number",
+        "filename",
+    ]
+    if len(clean) > 0:
+        tqc = clean.groupby(group_cols).apply(_tqc, include_groups=False).reset_index()
+        tqc["redacted_csv_filename"] = tqc["filename"].str.replace(
+            ".wav", "_REDACTED.csv", regex=False
+        )
+    else:
+        tqc = pd.DataFrame(columns=group_cols + ["redacted_csv_filename"])
+
+    # disfluency summary (phone_transcript_sentence_stats.py:97-118)
+    if len(clean) > 0:
+        disf = (
+            clean.groupby(["conv_id", "session_id", "day", "daily_submission_number", "filename"])
+            .agg(
+                length_minutes=("overall_db", "first"),
+                total_word_count=("word_count", lambda s: float(np.nansum(s))),
+                nonverbal_edits_count=("nonverbal_edits", lambda s: float(np.nansum(s))),
+                verbal_edits_count=("verbal_edits", lambda s: float(np.nansum(s))),
+                repeats_count=("repeats", lambda s: float(np.nansum(s))),
+                restarts_count=("restarts", lambda s: float(np.nansum(s))),
+            )
+            .reset_index()
+        )
+        disf["transcript_csv_name"] = disf["filename"].str.replace(
+            ".wav", "_REDACTED_withSentenceStats.csv", regex=False
+        )
+        disf["total_disfluencies"] = (
+            disf["nonverbal_edits_count"]
+            + disf["verbal_edits_count"]
+            + disf["repeats_count"]
+            + disf["restarts_count"]
+        )
+        for c in ("nonverbal_edits", "verbal_edits", "repeats", "restarts"):
+            disf[f"{c}_per_word"] = disf[f"{c}_count"] / disf["total_word_count"].astype(float)
+        disf["disfluencies_per_minute"] = disf["total_disfluencies"] / disf["length_minutes"]
+    else:
+        disf = pd.DataFrame()
+
+    # accepted set (diary_qc_compilation.py:136-185)
+    acc = dqc[dqc["audio_approved_bool"] == 1].copy()
+    merged = acc.merge(
+        tqc.drop(columns=["session_id", "filename"], errors="ignore"),
+        on=["conv_id", "day", "timeofday", "weekday", "daily_submission_number"],
+        how="left",
+    )
+    if len(disf) > 0:
+        merged = merged.merge(
+            disf.drop(columns=["session_id", "filename", "length_minutes", "total_word_count"]),
+            on=["conv_id", "day", "daily_submission_number"],
+            how="left",
+        )
+    else:
+        for c in (
+            "transcript_csv_name", "nonverbal_edits_count", "verbal_edits_count",
+            "repeats_count", "restarts_count", "total_disfluencies",
+            "nonverbal_edits_per_word", "verbal_edits_per_word", "repeats_per_word",
+            "restarts_per_word", "disfluencies_per_minute",
+        ):
+            merged[c] = np.nan
+    merged["proposed_processed_name"] = merged["filename"]
+    merged["date_mp3_first_detected"] = merged["session_end"].dt.strftime("%Y-%m-%d")
+    merged = merged.dropna(subset=["day", "daily_submission_number"])
+    merged = merged[merged["daily_submission_number"] == 1]
+    merged = merged.sort_values(["conv_id", "day", "daily_submission_number"]).drop_duplicates(
+        ["conv_id", "day"], keep="first"
+    )
+    from ..operators.compile import ACCEPTED_COLS
+
+    accepted = merged[ACCEPTED_COLS].sort_values(["conv_id", "day"]).reset_index(drop=True)
+
+    # rejected set
+    rejected = (
+        dqc[dqc["audio_approved_bool"] != 1][
+            [
+                "conv_id",
+                "day",
+                "daily_submission_number",
+                "overall_db",
+                "length_minutes",
+                "submit_hour_int",
+                "subject_consent_month",
+            ]
+        ]
+        .sort_values(["conv_id", "day", "daily_submission_number"])
+        .reset_index(drop=True)
+    )
+
+    # issues log
+    from ..operators.compile import (
+        MSG_MISSING_REQUEST,
+        MSG_ORPHAN_RETURN,
+        MSG_PENDING,
+        MSG_REDACTION_VIOLATION,
+        MSG_REQUEST_NO_QC,
+    )
+
+    today = cfg.compute_date
+    issues_rows = []
+
+    def add(conv, fname, stage, msg):
+        issues_rows.append(
+            {
+                "date_detected": cfg.compute_date_str,
+                "conv_id": conv,
+                "filename": fname,
+                "file_stage": stage,
+                "error_message": msg,
+            }
+        )
+
+    acc_keys = set(zip(acc["conv_id"], acc["filename"]))
+    tagged_keys = set(
+        zip(
+            acc[acc["has_tool_tag"]]["conv_id"],
+            acc[acc["has_tool_tag"]]["filename"],
+        )
+    )
+    for r in req.itertuples():
+        k = (r.conv_id, r.request_key)
+        if k not in ret_keys and (today - pd.Timestamp(r.ts).date()).days >= cfg.pending_deadline_days:
+            add(r.conv_id, r.request_key, "pre-transcript", MSG_PENDING)
+        if k not in acc_keys:
+            add(r.conv_id, r.request_key, "post-audioQC", MSG_REQUEST_NO_QC)
+    for r in ret.itertuples():
+        if (r.conv_id, r.request_key) not in req_keys:
+            add(r.conv_id, r.request_key, "pre-wav", MSG_ORPHAN_RETURN)
+    for k in sorted(tagged_keys - req_keys):
+        add(k[0], k[1], "pre-wav", MSG_MISSING_REQUEST)
+    for r in violated_diaries.itertuples():
+        add(r.conv_id, r.filename, "pre-redaction", MSG_REDACTION_VIOLATION)
+
+    issues = pd.DataFrame(
+        issues_rows,
+        columns=["date_detected", "conv_id", "filename", "file_stage", "error_message"],
+    )
+    if len(issues) > 0:
+        issues = (
+            issues.sort_values("date_detected")
+            .drop_duplicates(["conv_id", "filename", "file_stage", "error_message"])
+            .sort_values(["date_detected", "conv_id", "filename", "file_stage"])
+            .reset_index(drop=True)
+        )
+
+    return {
+        "accepted": accepted,
+        "rejected": rejected,
+        "issues": issues,
+        "turn_stats": turn_stats.reset_index(drop=True),
+        "audio_qc": dqc.reset_index(drop=True),
+    }
