@@ -1,38 +1,759 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship QC pipeline over a transcripts-shaped
+stream derived deterministically from the sf0.001 driver tables.
+
+``queries()`` / ``oracle_sql()`` cover the SURVEY.md §2 operator inventory
+over the driver's relational tables (events/documents/lineitem/... at the
+given sf_dir), each with an ANSI-SQL DuckDB oracle. Column names and types
+are aligned pairwise; double aggregates are rounded so the order-insensitive
+value hash is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from daily_journal_dataflow_qc_spark.functions import text_metrics as TM
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full diary-QC pipeline over a transcript stream derived
+    from the sf0.001 events+documents tables (conv=user, turn=event)."""
+    from daily_journal_dataflow_qc_spark.config import PipelineConfig
+    from daily_journal_dataflow_qc_spark.pipeline import run_batch
+    from daily_journal_dataflow_qc_spark import schemas
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    documents = _t(spark, sf_dir, "documents")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = (
+        events.withColumn("turn_idx", F.row_number().over(w))
+        .join(
+            documents.select(
+                (F.col("doc_id")).alias("_doc_join"), F.col("text").alias("_doc_text")
+            ),
+            F.pmod(F.col("event_id"), F.lit(500)) == F.col("_doc_join"),
+            "left",
+        )
+        .select(
+            F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+            F.col("turn_idx").cast("int"),
+            F.when(F.col("event_type") == "error", "S2").otherwise("S1").alias("role"),
+            F.coalesce(F.col("_doc_text"), F.lit("empty sentence")).alias("text"),
+            F.when(F.col("event_type") == "purchase", "transcribeme").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    conv_meta = (
+        events.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("consent_date"), F.avg("value").alias("_v"))
+        .select(
+            F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+            F.col("consent_date"),
+            F.lit("America/New_York").alias("timezone"),
+            F.lit("ENGLISH").alias("language"),
+            (F.lit(40.0) + F.pmod(F.col("user_id"), F.lit(30)).cast("double")).alias("db_level"),
+            (F.lit(30.0) + F.round(F.col("_v"), 1)).alias("duration_sec"),
+            F.round(F.pmod(F.col("user_id"), F.lit(100)) / 200.0, 4).alias("flatness"),
+        )
+    )
+    tool_calls = spark.createDataFrame([], schemas.TOOL_CALLS)
+    out = run_batch(transcripts, tool_calls, conv_meta, PipelineConfig())
+    return out.audio_qc.select(
+        "conv_id",
+        "day",
+        "daily_submission_number",
+        "submit_hour_int",
+        "length_minutes",
+        "overall_db",
+        "audio_approved_bool",
+    )
+
+
+# ---------------------------------------------------------------- helpers
+
+def _hex_hash(col):
+    """Portable 60-bit hash: first 15 hex chars of md5, base-16 -> bigint.
+    DuckDB equivalent: CAST('0x' || substring(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_HEX_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- queries
+
+def q_tpch_pricing(spark, sf):
+    # A1: grouped sum/avg/count (TPC-H Q1 shape)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1997-12-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_conditional_counts(spark, sf):
+    # A4: conditional counts per group (S1_sentence_count shape)
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("purchases"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_active_days(spark, sf):
+    # A5: clip(upper=1)-then-sum == distinct active days per user
+    ev = _t(spark, sf, "events")
+    per_day = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.least(F.count("*"), F.lit(1)).alias("active")
+    )
+    return per_day.groupBy("user_id").agg(F.sum("active").cast("long").alias("active_days"))
+
+
+def q_first_last(spark, sf):
+    # A6: first/last submit day per key
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).cast("long").alias("span_days"),
+    )
+
+
+def q_type_rollup(spark, sf):
+    # A1/A3/A7: per-type rollup with distinct count and rates
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_histogram(spark, sf):
+    # A9: fixed-bin histogram with out-of-range buckets
+    ev = _t(spark, sf, "events")
+    bucket = (
+        F.when(F.col("value") < 0, -1)
+        .when(F.col("value") >= 100, 10)
+        .otherwise(F.floor(F.col("value") / 10))
+        .cast("long")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+def q_join_left_rollup(spark, sf):
+    # J1: left equi-join then rollup
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+def q_anti_join(spark, sf):
+    # J6/U3: customers with no orders (left_anti)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_semi_join(spark, sf):
+    # J6: customers with at least one open order (left_semi)
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_outer_fillna(spark, sf):
+    # J9: full outer merge of two aggregates, fillna(0)
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.count("*").alias("clicks"))
+    purch = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(F.count("*").alias("purchases"))
+    return (
+        clicks.join(purch, "user_id", "outer")
+        .select(
+            "user_id",
+            F.coalesce("clicks", F.lit(0)).cast("long").alias("clicks"),
+            F.coalesce("purchases", F.lit(0)).cast("long").alias("purchases"),
+        )
+    )
+
+
+def q_cardinality_guard(spark, sf):
+    # J5: 'exactly one matching record' check -> keys violating uniqueness
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") != 1)
+    )
+
+
+def q_first_event(spark, sf):
+    # W1: rank within key by time, keep first (submission-number shape)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"), F.col("event_type").alias("first_type"))
+    )
+
+
+def q_lead_gaps(spark, sf):
+    # W2/W3: lead-difference min/max per key (timestamp-space stats shape)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, ts, lead_ts)")  # exact at parquet us precision
+    return (
+        ev.withColumn("lead_ts", F.lead("ts").over(w))
+        .withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+
+
+def q_rolling_avg(spark, sf):
+    # W5: 7-row rolling mean over daily counts (null for first 6, pandas rolling(7))
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    roll = F.when(
+        F.row_number().over(w) >= 7,
+        F.round(F.avg("n").over(w.rowsBetween(-6, 0)), 2),
+    )
+    return daily.select("event_type", "d", roll.alias("roll7"))
+
+
+def q_cumulative(spark, sf):
+    # W6: cumulative count over days per type
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select("event_type", "d", F.sum("n").over(w).alias("cum_n"))
+
+
+def q_dedup_keep_first(spark, sf):
+    # O4/O6: dedup keeping earliest arrival per key
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def q_union_all(spark, sf):
+    # U1/U2: union all of two filtered slices then rollup
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("value") > 50).select("event_type", "value")
+    b = ev.filter(F.col("event_type") == "error").select("event_type", "value")
+    return a.unionByName(b).groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+
+
+def q_except_users(spark, sf):
+    # U3: users with clicks EXCEPT users with purchases
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.join(purch, "user_id", "left_anti")
+
+
+def q_topk_per_group(spark, sf):
+    # top-K per group with deterministic tie-break
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "total", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_tumbling_4am(spark, sf):
+    # T3/§2.10: tumbling 24h window with the 4am shift
+    ev = _t(spark, sf, "events")
+    day = F.to_date(F.col("ts") - F.expr("INTERVAL 4 HOURS")).alias("journal_day")
+    return ev.groupBy(day, "event_type").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_sessionization(spark, sf):
+    # §2.10 session windows: 30-min-gap sessions per user (batch form)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "boundary",
+            F.when(F.col("prev_ts").isNull() | (gap > 1800 * 1000000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_turns"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("n_turns").alias("max_session_turns")
+    )
+
+
+def q_unmatched_within_window(spark, sf):
+    # J7 batch form: signups with no purchase by the same user within 14 days
+    ev = _t(spark, sf, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (s.user_id == p.p_user)
+        & (p.p_ts >= s.s_ts)
+        & (p.p_ts <= F.col("s_ts") + F.expr("INTERVAL 14 DAYS"))
+    )
+    matched = s.join(p, cond, "left_outer")
+    return (
+        matched.groupBy("user_id", "s_id")
+        .agg(F.max(F.col("p_ts").isNotNull()).alias("has_match"))
+        .filter(~F.col("has_match"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pending"))
+    )
+
+
+def q_word_stats(spark, sf):
+    # F3/F4/F5: per-doc literal-space word count + substring counts
+    d = _t(spark, sf, "documents")
+    lc = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        TM.word_count(lc).cast("long").alias("word_count"),
+        TM.substr_count(lc, "table").cast("long").alias("n_table"),
+        TM.substr_count(lc, "the").cast("long").alias("n_the"),
+        TM.restarts(lc).cast("long").alias("n_ddash"),
+    )
+
+
+def q_nonverbal_regex(spark, sf):
+    # F6: the double-space-join regex count construction
+    d = _t(spark, sf, "documents")
+    lc = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), F.array_join(F.split(lc, " ", -1), "  "), F.lit(" "))
+    return d.select(
+        "doc_id",
+        F.regexp_count(padded, F.lit("[^a-z](a|the)[^a-z]")).cast("long").alias("n_matches"),
+    )
+
+
+def q_stutter_tokens(spark, sf):
+    # F8: dash-prefix stutter detection over a derived dashed column
+    d = _t(spark, sf, "documents")
+    dashed = F.replace(F.lower(F.col("text")), F.lit("table"), F.lit("ta-table"))
+    return d.select("doc_id", TM.stutter_repeats(dashed).cast("long").alias("n_stutters"))
+
+
+def q_word_repeats(spark, sf):
+    # F9/W7: adjacent-token repeats (comma-stripped)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", TM.word_repeats(F.lower(F.col("text"))).cast("long").alias("n_repeats")
+    )
+
+
+def q_dedup_exact_docs(spark, sf):
+    # training-data op: exact dedup via content hash, per source
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5(F.col("text")))).alias("n_dupes"),
+    )
+
+
+def q_minhash_signature(spark, sf):
+    # training-data op: 4-permutation word-level minhash signature per doc
+    d = _t(spark, sf, "documents")
+    wds = F.split(F.lower(F.col("text")), " ", -1)
+
+    def seed_hash(seed: str):
+        # NB: must return a SINGLE-arg lambda — F.transform passes the array
+        # index to a second parameter, which would corrupt the seed
+        return lambda x: _hex_hash(F.concat(F.lit(seed), x))
+
+    cols = [
+        F.array_min(F.transform(wds, seed_hash(f"s{i}:"))).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    return d.select("doc_id", *cols)
+
+
+def q_embedding_nn(spark, sf):
+    # training-data op: brute-force cosine nearest neighbor (top-1, excl self)
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    b = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = a.join(b, F.col("qid") != F.col("cid")).withColumn(
+        "cos", dot / (norm(F.col("qv")) * norm(F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("qid").alias("vec_id"), F.col("cid").alias("nn_id"), F.round("cos", 2).alias("cos_sim"))
+    )
+
+
+def q_quality_score(spark, sf):
+    # training-data op: text quality metrics (length/stopword ratios)
+    d = _t(spark, sf, "documents")
+    lc = F.lower(F.col("text"))
+    wds = F.split(lc, " ", -1)
+    stop = F.size(F.filter(wds, lambda x: x.isin("the", "a", "of", "and", "to")))
+    return d.select(
+        "doc_id",
+        F.length(lc).cast("long").alias("n_chars"),
+        F.size(wds).cast("long").alias("n_words"),
+        F.round(F.length(lc) / F.size(wds), 2).alias("chars_per_word"),
+        F.round(stop / F.size(wds), 4).alias("stopword_ratio"),
+    )
+
+
+def q_token_count(spark, sf):
+    # training-data op: whitespace + BPE-ish regex token counting
+    d = _t(spark, sf, "documents")
+    lc = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(lc, " ", -1)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lc, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf):
+    # training-data op: content fingerprint (hash of normalized text)
+    d = _t(spark, sf, "documents")
+    norm = F.array_join(F.filter(F.split(F.lower(F.col("text")), " ", -1), lambda x: x != ""), " ")
+    return d.select("doc_id", _hex_hash(norm).alias("fingerprint"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_pricing": q_tpch_pricing,
+        "conditional_counts": q_conditional_counts,
+        "active_days": q_active_days,
+        "first_last": q_first_last,
+        "type_rollup": q_type_rollup,
+        "histogram": q_histogram,
+        "join_left_rollup": q_join_left_rollup,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "outer_fillna": q_outer_fillna,
+        "cardinality_guard": q_cardinality_guard,
+        "first_event": q_first_event,
+        "lead_gaps": q_lead_gaps,
+        "rolling_avg": q_rolling_avg,
+        "cumulative": q_cumulative,
+        "dedup_keep_first": q_dedup_keep_first,
+        "union_all": q_union_all,
+        "except_users": q_except_users,
+        "topk_per_group": q_topk_per_group,
+        "tumbling_4am": q_tumbling_4am,
+        "sessionization": q_sessionization,
+        "unmatched_within_window": q_unmatched_within_window,
+        "word_stats": q_word_stats,
+        "nonverbal_regex": q_nonverbal_regex,
+        "stutter_tokens": q_stutter_tokens,
+        "word_repeats": q_word_repeats,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_signature": q_minhash_signature,
+        "embedding_nn": q_embedding_nn,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh = ", ".join(
+        f"list_min(list_transform(string_split(lower(text), ' '), "
+        f"x -> CAST(('0x' || substring(md5('s{i}:' || x), 1, 15)) AS BIGINT))) AS mh{i}"
+        for i in range(4)
+    )
+    return {
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "conditional_counts": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "active_days": """
+            SELECT user_id, CAST(sum(active) AS BIGINT) AS active_days FROM (
+                SELECT user_id, CAST(ts AS DATE) AS d, least(count(*), 1) AS active
+                FROM events GROUP BY 1, 2
+            ) GROUP BY user_id
+        """,
+        "first_last": """
+            SELECT user_id, min(CAST(ts AS DATE)) AS first_day, max(CAST(ts AS DATE)) AS last_day,
+                   CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS BIGINT) AS span_days
+            FROM events GROUP BY user_id
+        """,
+        "type_rollup": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+                   round(avg(value), 2) AS avg_value, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "histogram": """
+            SELECT CAST(CASE WHEN value < 0 THEN -1 WHEN value >= 100 THEN 10
+                        ELSE floor(value / 10) END AS BIGINT) AS bucket, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "join_left_rollup": """
+            SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            GROUP BY c_mktsegment
+        """,
+        "outer_fillna": """
+            SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   CAST(coalesce(a.clicks, 0) AS BIGINT) AS clicks,
+                   CAST(coalesce(b.purchases, 0) AS BIGINT) AS purchases
+            FROM (SELECT user_id, count(*) AS clicks FROM events WHERE event_type='click' GROUP BY 1) a
+            FULL OUTER JOIN (SELECT user_id, count(*) AS purchases FROM events WHERE event_type='purchase' GROUP BY 1) b
+            USING (user_id)
+        """,
+        "cardinality_guard": """
+            SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) != 1
+        """,
+        "first_event": """
+            SELECT user_id, event_id AS first_event_id, event_type AS first_type FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "lead_gaps": """
+            SELECT user_id, CAST(min(gap_us) AS BIGINT) AS min_gap_us, CAST(max(gap_us) AS BIGINT) AS max_gap_us FROM (
+                SELECT user_id,
+                       date_diff('microsecond', ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+                FROM events
+            ) GROUP BY user_id HAVING count(*) > 1
+        """,
+        "rolling_avg": """
+            SELECT event_type, d,
+                   CASE WHEN row_number() OVER (PARTITION BY event_type ORDER BY d) >= 7
+                        THEN round(avg(n) OVER (PARTITION BY event_type ORDER BY d
+                                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                   END AS roll7
+            FROM (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2)
+        """,
+        "cumulative": """
+            SELECT event_type, d,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+            FROM (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2)
+        """,
+        "dedup_keep_first": """
+            SELECT user_id, event_type, event_id AS first_event_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "union_all": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS v FROM (
+                SELECT event_type, value FROM events WHERE value > 50
+                UNION ALL
+                SELECT event_type, value FROM events WHERE event_type = 'error'
+            ) GROUP BY event_type
+        """,
+        "except_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "topk_per_group": """
+            SELECT event_type, user_id, total, CAST(rk AS BIGINT) AS rk FROM (
+                SELECT event_type, user_id, round(sum(value), 2) AS total,
+                       row_number() OVER (PARTITION BY event_type ORDER BY round(sum(value), 2) DESC, user_id) AS rk
+                FROM events GROUP BY event_type, user_id
+            ) WHERE rk <= 3
+        """,
+        "tumbling_4am": """
+            SELECT CAST(ts - INTERVAL 4 HOUR AS DATE) AS journal_day, event_type,
+                   count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM g
+            )
+            SELECT user_id, count(*) AS n_sessions, max(n_turns) AS max_session_turns FROM (
+                SELECT user_id, session_id, count(*) AS n_turns FROM s GROUP BY 1, 2
+            ) GROUP BY user_id
+        """,
+        "unmatched_within_window": """
+            SELECT s.user_id, count(*) AS n_pending FROM
+                (SELECT user_id, ts AS s_ts, event_id AS s_id FROM events WHERE event_type = 'signup') s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+                  AND p.ts >= s.s_ts AND p.ts <= s.s_ts + INTERVAL 14 DAY
+            )
+            GROUP BY s.user_id
+        """,
+        "word_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS word_count,
+                   CAST((length(lower(text)) - length(replace(lower(text), 'table', ''))) / 5 AS BIGINT) AS n_table,
+                   CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3 AS BIGINT) AS n_the,
+                   CAST((length(lower(text)) - length(replace(lower(text), '--', ''))) / 2 AS BIGINT) AS n_ddash
+            FROM documents
+        """,
+        "nonverbal_regex": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                        ' ' || array_to_string(string_split(lower(text), ' '), '  ') || ' ',
+                        '[^a-z](a|the)[^a-z]')) AS BIGINT) AS n_matches
+            FROM documents
+        """,
+        "stutter_tokens": """
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                        string_split(replace(lower(text), 'table', 'ta-table'), ' '),
+                        y -> len(string_split(y, '-')) > 1
+                             AND starts_with(string_split(y, '-')[2], string_split(y, '-')[1])
+                   )) AS BIGINT) AS n_stutters
+            FROM documents
+        """,
+        "word_repeats": """
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(
+                        generate_series(2, len(string_split(lower(text), ' '))),
+                        i -> CASE WHEN replace(string_split(lower(text), ' ')[i-1], ',', '')
+                                     = replace(string_split(lower(text), ' ')[i], ',', '')
+                                  THEN 1 ELSE 0 END
+                   )), 0) AS BIGINT) AS n_repeats
+            FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+                   count(*) - count(DISTINCT md5(text)) AS n_dupes
+            FROM documents GROUP BY source
+        """,
+        "minhash_signature": f"SELECT doc_id, {mh} FROM documents",
+        "embedding_nn": """
+            SELECT vec_id, nn_id, round(cos, 2) AS cos_sim FROM (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS cos,
+                       row_number() OVER (PARTITION BY a.vec_id
+                                          ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                                   b.vec_id) AS rk
+                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ) WHERE rk = 1
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(length(lower(text)) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+                   round(length(lower(text)) / len(string_split(lower(text), ' ')), 2) AS chars_per_word,
+                   round(len(list_filter(string_split(lower(text), ' '),
+                                         x -> x IN ('the','a','of','and','to')))
+                         / len(string_split(lower(text), ' ')), 4) AS stopword_ratio
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(array_to_string(
+                        list_filter(string_split(lower(text), ' '), x -> x != ''), ' ')), 1, 15)) AS BIGINT)
+                   AS fingerprint
+            FROM documents
+        """,
+    }
