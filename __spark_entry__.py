@@ -429,31 +429,13 @@ def q_minhash_signature(spark, sf):
 
 
 def q_embedding_nn(spark, sf):
-    # training-data op: brute-force cosine nearest neighbor (top-1, excl self)
+    # training-data op: exact cosine nearest neighbor (top-1, excl self) via
+    # broadcast candidate matrix + batched GEMM (no cross join — the
+    # interpreted higher-order-fold formulation was ~100x slower)
+    from daily_journal_dataflow_qc_spark.operators.similarity import brute_force_knn
+
     e = _t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    b = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    pairs = a.join(b, F.col("qid") != F.col("cid")).withColumn(
-        "cos", dot / (norm(F.col("qv")) * norm(F.col("cv")))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(F.col("qid").alias("vec_id"), F.col("cid").alias("nn_id"), F.round("cos", 2).alias("cos_sim"))
-    )
+    return brute_force_knn(e, e, k=1).select("vec_id", "nn_id", "cos_sim")
 
 
 def q_quality_score(spark, sf):

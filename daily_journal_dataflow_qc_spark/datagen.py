@@ -283,6 +283,60 @@ def generate(
     return transcripts, tool_calls, conv_meta
 
 
+def generate_scaled(
+    base_convs: int = 120,
+    replicas: int = 10,
+    seed: int = 42,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Deterministically tile a base generation ``replicas`` times with
+    distinct conv_id namespaces — cheap volume scale-out for benchmarking
+    (key cardinality scales with replicas, so shuffle behavior stays honest).
+    """
+    tr, tc, cm = generate(n_convs=base_convs, seed=seed)
+    trs, tcs, cms = [], [], []
+    for r in range(replicas):
+        pre = f"r{r:03d}"
+        a = tr.copy()
+        a["conv_id"] = pre + a["conv_id"]
+        trs.append(a)
+        b = tc.copy()
+        b["conv_id"] = pre + b["conv_id"]
+        b["request_key"] = pre + b["request_key"]
+        tcs.append(b)
+        c = cm.copy()
+        c["conv_id"] = pre + c["conv_id"]
+        cms.append(c)
+    return (
+        pd.concat(trs, ignore_index=True),
+        pd.concat(tcs, ignore_index=True),
+        pd.concat(cms, ignore_index=True),
+    )
+
+
+def write_parquet_scaled(
+    out_dir: str, base_convs: int = 120, replicas: int = 10, seed: int = 42
+) -> dict[str, str]:
+    """Generate-and-persist the scaled bench tables (idempotent)."""
+    marker = os.path.join(out_dir, f"_GENERATED_b{base_convs}_r{replicas}_s{seed}")
+    paths = {
+        t: os.path.join(out_dir, f"{t}.parquet")
+        for t in ("transcripts", "tool_calls", "conv_meta")
+    }
+    if os.path.isfile(marker) and all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+    transcripts, tool_calls, conv_meta = generate_scaled(base_convs, replicas, seed)
+    pq_opts = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    transcripts["ts"] = transcripts["ts"].dt.tz_localize("UTC")
+    transcripts.to_parquet(paths["transcripts"], **pq_opts)
+    tool_calls["ts"] = tool_calls["ts"].dt.tz_localize("UTC")
+    tool_calls.to_parquet(paths["tool_calls"], **pq_opts)
+    conv_meta.to_parquet(paths["conv_meta"], **pq_opts)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
 def write_parquet(
     out_dir: str,
     n_convs: int = 50,

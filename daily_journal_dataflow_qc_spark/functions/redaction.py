@@ -69,7 +69,12 @@ def redact_line(line: str) -> tuple[str | None, bool]:
 
 @F.pandas_udf(_RESULT_TYPE)
 def redact_udf(texts: pd.Series) -> pd.DataFrame:
-    res = texts.map(redact_line)
-    return pd.DataFrame(
-        {"redacted": res.map(lambda t: t[0]), "violated": res.map(lambda t: t[1])}
-    )
+    # fast path: lines with no '{' pass through unchanged (reference :58-60);
+    # the per-line Python rewrite only runs on the brace-bearing minority
+    out = pd.DataFrame({"redacted": texts, "violated": False})
+    mask = texts.str.contains("{", regex=False).fillna(False)
+    if mask.any():
+        res = texts[mask].map(redact_line)
+        out.loc[mask, "redacted"] = res.map(lambda t: t[0])
+        out.loc[mask, "violated"] = res.map(lambda t: t[1])
+    return out

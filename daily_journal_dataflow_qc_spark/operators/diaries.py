@@ -25,12 +25,21 @@ from ..functions.datetime_rules import proposed_processed_name, with_day_assignm
 
 def dedup_turns(transcripts: DataFrame) -> DataFrame:
     """Keep the earliest arrival per (conv_id, turn_idx) (O6 guard:
-    'previously processed filename detected as new', mindlamp_accounting.py:196-198)."""
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
+    'previously processed filename detected as new', mindlamp_accounting.py:196-198).
+
+    Partitions by conv_id ONLY (not (conv_id, turn_idx)) so the subsequent
+    sessionize/identity windows reuse the same exchange — the whole identity
+    stage is a single shuffle of the turn stream. Dedup within the partition
+    is a lag check on the (turn_idx, ts)-sorted run.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    prev_idx = F.lag("turn_idx").over(w)
     return (
-        transcripts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        transcripts.withColumn(
+            "_keep", prev_idx.isNull() | (prev_idx != F.col("turn_idx"))
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
     )
 
 

@@ -82,13 +82,20 @@ def redacted_turns(sessioned_turns: DataFrame, diaries: DataFrame) -> DataFrame:
 
 
 def split_violations(red_turns: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean_turns, violated_diaries): poison whole diaries on any violation."""
-    flags = red_turns.groupBy(*DIARY_KEY).agg(
-        F.max("violated").alias("any_violated"),
-        F.first("filename").alias("filename"),
+    """(clean_turns, violated_diaries): poison whole diaries on any violation.
+
+    Single-pass: the per-diary violation flag is a window max (one shuffle on
+    the diary key the downstream stats need anyway) — no self-join, and the
+    redaction UDF upstream is evaluated once.
+    """
+    w = Window.partitionBy(*DIARY_KEY)
+    flagged = red_turns.withColumn("_any_violated", F.max("violated").over(w))
+    clean = flagged.filter(~F.col("_any_violated")).drop("_any_violated")
+    violated = (
+        flagged.filter(F.col("_any_violated"))
+        .select(*DIARY_KEY, "filename")
+        .distinct()
     )
-    violated = flags.filter(F.col("any_violated")).select(*DIARY_KEY, "filename")
-    clean = red_turns.join(violated.select(*DIARY_KEY), DIARY_KEY, "left_anti")
     return clean, violated
 
 

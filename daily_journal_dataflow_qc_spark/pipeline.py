@@ -47,12 +47,24 @@ def run_batch(
     tool_calls: DataFrame,
     conv_meta: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    persist_intermediates: bool = False,
 ) -> PipelineOutputs:
+    """Build the four output row sets.
+
+    persist_intermediates: cache the shared turn-level stages (sessionized
+    turns, per-turn stats) so materializing all four outputs computes the
+    expensive windows + redaction UDF once — the batch analogue of the
+    streaming job's single-pass fan-out to multiple sinks.
+    """
     # identity stage (single shuffle by conv_id)
     turns = diary_ops.dedup_turns(transcripts)
     sessioned = diary_ops.sessionize(turns, cfg)
+    if persist_intermediates:
+        sessioned = sessioned.persist()
     diaries = diary_ops.diary_identity(sessioned, conv_meta, cfg)
     qc = diary_ops.audio_qc(diaries, cfg)
+    if persist_intermediates:
+        qc = qc.persist()
 
     # tool-call round trip (J8 batch form)
     requests = transcript_ops.dedup_tool_calls(tool_calls, "request")
@@ -60,9 +72,13 @@ def run_batch(
     returned = transcript_ops.returned_accepted_diaries(qc, requests, returns)
 
     # transcript side
-    red = transcript_ops.redacted_turns(sessioned, returned, )
+    red = transcript_ops.redacted_turns(sessioned, returned)
+    if persist_intermediates:
+        red = red.persist()  # the Python (Arrow) boundary — evaluate once
     clean_turns, violated = transcript_ops.split_violations(red)
     stats = transcript_ops.turn_stats(clean_turns)
+    if persist_intermediates:
+        stats = stats.persist()
     tqc = transcript_ops.transcript_qc(stats)
     disf = transcript_ops.disfluencies(stats)
 
@@ -103,7 +119,12 @@ def run_batch(
 
 
 def run_batch_from_dir(
-    spark: SparkSession, data_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG
+    spark: SparkSession,
+    data_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    persist_intermediates: bool = False,
 ) -> PipelineOutputs:
     transcripts, tool_calls, conv_meta = load_inputs(spark, data_dir)
-    return run_batch(transcripts, tool_calls, conv_meta, cfg)
+    return run_batch(
+        transcripts, tool_calls, conv_meta, cfg, persist_intermediates=persist_intermediates
+    )

@@ -23,7 +23,8 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        # 2x cores: finer tasks even out stragglers; AQE coalesces the rest
+        shuffle_partitions = 64 if n == "*" else max(8, 2 * int(n))
 
     builder = (
         SparkSession.builder.master(master)
