@@ -253,9 +253,10 @@ def generate(
     # ------------------------------------------------ turn-level anomalies
     rng2 = np.random.default_rng(seed + 7)
     n = len(transcripts)
-    # duplicates: re-emit ~1% of rows with same (conv_id, turn_idx), later ts
+    # duplicates: re-emit ~1% of rows verbatim (exact re-delivery: same
+    # event time — batch dedup keeps min-ts, streaming dedup keeps first
+    # arrival; identical payloads make both rules agree deterministically)
     dup_rows = transcripts.iloc[rng2.random(n) < 0.01].copy()
-    dup_rows["ts"] = dup_rows["ts"] + pd.Timedelta(seconds=1)
     # out-of-order: swap turn_idx of ~1% adjacent same-conv pairs
     swap_at = np.where(rng2.random(n - 1) < 0.01)[0]
     idx_col = transcripts["turn_idx"].to_numpy().copy()

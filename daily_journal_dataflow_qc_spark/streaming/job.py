@@ -1,0 +1,266 @@
+"""Structured Streaming form of the QC pipeline (the north-rule CEP job).
+
+Topology (single continuous job, checkpointed, exactly-once sinks):
+
+    transcripts stream
+      -> per-turn stateless projection (normalize, redact UDF, metrics)
+      -> watermark + dropDuplicatesWithinWatermark(conv_id, turn_idx)      [§2.10 dedup]
+      -> groupBy(conv_id, session_window(ts, gap)) agg                     [diary assembly]
+         (all per-diary QC sums + collected (ts,wc) pairs; gap stats are
+          computed JVM-side post-agg from the sorted pairs)
+      -> foreachBatch: day assignment + submission rank + acceptance split
+         + IdempotentBatchSink commits                                     [exactly-once]
+
+    transcripts stream -> applyInPandasWithState(conv_id)                  [keyed validator]
+         monotone turn_idx high-watermark + count-min dedup sketch;
+         emits duplicate / out-of-order flag rows (O(1) state per conv)
+
+    tool_calls stream (requests) x (returns): watermarked left-outer
+         stream-stream join with a 14-day event-time range; requests that
+         survive unmatched past the watermark emit pending flags            [J7/J8]
+
+Submission rank inside foreachBatch is per-micro-batch — the reference's own
+semantics (mindlamp_accounting.py:145-147 numbers within the ingest batch;
+SURVEY §7.3.1). The keyed validator provides the global ordering guarantees.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from .. import schemas
+from ..functions.datetime_rules import proposed_processed_name, with_day_assignment
+from ..functions.redaction import redact_udf
+from ..functions.text_metrics import normalize_text, with_sentence_metrics
+from .sink import IdempotentBatchSink
+
+STREAM_CONF = {
+    # RocksDB-backed keyed state (north star); falls back safely in tests
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
+def turn_projection(turns: DataFrame) -> DataFrame:
+    """Stateless per-turn stage: redact + lower + sentence metrics."""
+    red = redact_udf(normalize_text(F.col("text")))
+    df = turns.withColumns(
+        {"text": red.getField("redacted"), "violated": red.getField("violated")}
+    )
+    df = df.withColumn("text_lc", F.lower(F.col("text")))
+    df = with_sentence_metrics(df, "text_lc")
+    return df.withColumns(
+        {
+            "inaudibles_and_questionables": (
+                F.col("inaudible_count") + F.col("questionable_count")
+            ).cast("int"),
+            "repeats": (F.col("stutter_repeats") + F.col("word_repeats")).cast("int"),
+            "is_ascii": F.col("text").rlike("^[\\x00-\\x7F]*$"),
+        }
+    )
+
+
+def session_qc_aggregate(projected: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Watermarked session-window diary assembly with full QC sums."""
+    gap = f"{cfg.session_gap_minutes} minutes"
+    deduped = (
+        projected.withWatermark("ts", cfg.watermark_delay)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    agg = deduped.groupBy("conv_id", F.session_window("ts", gap)).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_turns"),
+        F.max(F.col("tool").isNotNull()).alias("has_tool_tag"),
+        F.max("violated").alias("any_violated"),
+        F.size(F.collect_set("role")).alias("speakerID_count"),
+        F.sum(F.when(F.col("role") == "S1", 1).otherwise(0)).cast("int").alias("S1_sentence_count"),
+        F.sum("word_count").cast("int").alias("word_count"),
+        F.min("word_count").alias("min_words_in_sen"),
+        F.max("word_count").alias("max_words_in_sen"),
+        F.sum("inaudible_count").cast("int").alias("inaudible_count"),
+        F.sum("questionable_count").cast("int").alias("questionable_count"),
+        F.sum("other_bracketed_words").cast("int").alias("other_bracketed_notation_count"),
+        F.sum("redactions").cast("int").alias("redacted_count"),
+        F.sum("nonverbal_edits").cast("double").alias("nonverbal_edits_count"),
+        F.sum("verbal_edits").cast("double").alias("verbal_edits_count"),
+        F.sum("repeats").cast("double").alias("repeats_count"),
+        F.sum("restarts").cast("double").alias("restarts_count"),
+        F.min("is_ascii").alias("all_ascii"),
+        # ordered (ts, word_count) pairs: gap stats computed post-agg,
+        # JVM-side, from this bounded per-diary array
+        F.sort_array(F.collect_list(F.struct("ts", "word_count"))).alias("_pairs"),
+    )
+    secs = F.transform(
+        F.col("_pairs"), lambda p: p.getField("ts").cast("double")
+    )
+    n = F.size(F.col("_pairs"))
+    gaps = F.zip_with(
+        F.slice(secs, 1, n - 1), F.slice(secs, 2, n - 1), lambda a, b: b - a
+    )
+    gap_per_word = F.zip_with(
+        gaps,
+        F.transform(F.slice(F.col("_pairs"), 1, n - 1), lambda p: p.getField("word_count")),
+        lambda g, wc: g / wc,
+    )
+    return agg.withColumns(
+        {
+            "total_sentence_count": n.cast("int"),
+            "final_timestamp_minutes": F.round(
+                (F.col("session_end").cast("double") - F.col("session_start").cast("double")) / 60.0, 3
+            ),
+            "min_timestamp_space_seconds": F.round(F.array_min(gaps), 3),
+            "max_timestamp_space_seconds": F.round(F.array_max(gaps), 3),
+            "min_timestamp_space_per_word": F.round(F.array_min(gap_per_word), 3),
+            "max_timestamp_space_per_word": F.round(F.array_max(gap_per_word), 3),
+            "txt_encoding_type": F.when(F.col("all_ascii"), "ASCII").otherwise("UTF-8"),
+        }
+    ).drop("_pairs", "all_ascii")
+
+
+def compile_batch(diary_rows: DataFrame, conv_meta: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """foreachBatch body: identity + acceptance on a micro-batch of closed
+    diary sessions (per-batch submission rank = reference semantics)."""
+    dim = conv_meta.filter(F.col("consent_date").isNotNull())
+    j = diary_rows.join(F.broadcast(dim), "conv_id", "inner")
+    j = with_day_assignment(j, ts_col="session_start", day_shift_hour=cfg.day_shift_hour)
+    w = Window.partitionBy("conv_id", "day").orderBy("session_start")
+    j = j.withColumn("daily_submission_number", F.row_number().over(w)).withColumn(
+        "filename",
+        proposed_processed_name(F.col("conv_id"), F.col("day"), F.col("daily_submission_number")),
+    )
+    corrupted = F.col("db_level").isNull() | F.col("duration_sec").isNull()
+    vol = F.round(F.col("db_level"), 2)
+    approved = (
+        F.when(corrupted, 0)
+        .when(
+            (vol < cfg.db_cutoff)
+            | (F.col("duration_sec") < cfg.length_cutoff_sec)
+            | (F.col("daily_submission_number") > 1),
+            0,
+        )
+        .otherwise(1)
+    )
+    return j.withColumns(
+        {
+            "length_minutes": F.when(corrupted, None).otherwise(F.round(F.col("duration_sec") / 60.0, 3)),
+            "overall_db": F.when(corrupted, None).otherwise(vol),
+            "mean_flatness": F.when(corrupted, None).otherwise(F.round(F.col("flatness"), 4)),
+            "audio_approved_bool": approved.cast("int"),
+        }
+    )
+
+
+def start_session_qc_query(
+    spark: SparkSession,
+    input_dir: str,
+    output_root: str,
+    conv_meta: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    max_files_per_trigger: int | None = None,
+):
+    """Launch the diary-QC streaming query (availableNow trigger).
+
+    Returns (query, {sink_name: IdempotentBatchSink}).
+    """
+    reader = spark.readStream.schema(schemas.TRANSCRIPTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    turns = reader.parquet(input_dir)
+
+    diary_stream = session_qc_aggregate(turn_projection(turns), cfg)
+
+    sinks = {
+        "audio_qc": IdempotentBatchSink(output_root, "audio_qc"),
+        "accepted": IdempotentBatchSink(output_root, "accepted"),
+        "rejected": IdempotentBatchSink(output_root, "rejected"),
+    }
+    meta = conv_meta  # captured; static dimension
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qc = compile_batch(batch_df, meta, cfg)
+        qc = qc.persist()
+        try:
+            sinks["audio_qc"].write(qc, batch_id)
+            sinks["accepted"].write(qc.filter(F.col("audio_approved_bool") == 1), batch_id)
+            sinks["rejected"].write(
+                qc.filter(F.col("audio_approved_bool") != 1).select(
+                    "conv_id",
+                    "day",
+                    "daily_submission_number",
+                    "overall_db",
+                    "length_minutes",
+                    "submit_hour_int",
+                    "subject_consent_month",
+                ),
+                batch_id,
+            )
+        finally:
+            qc.unpersist()
+
+    q = (
+        diary_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(output_root, "_checkpoint_qc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sinks
+
+
+def start_pending_flags_query(
+    spark: SparkSession,
+    tool_calls_dir: str,
+    output_root: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+):
+    """J7/J8: watermarked left-outer stream-stream join of requests x returns.
+    Requests with no return within the deadline are emitted once the
+    watermark passes request_ts + deadline (event-time timeout)."""
+    tc = spark.readStream.schema(schemas.TOOL_CALLS).parquet(tool_calls_dir)
+    req = (
+        tc.filter(F.col("kind") == "request")
+        .select("conv_id", "request_key", F.col("ts").alias("req_ts"))
+        .withWatermark("req_ts", "1 hour")
+    )
+    ret = (
+        tc.filter(F.col("kind") == "return")
+        .select(
+            F.col("conv_id").alias("r_conv_id"),
+            F.col("request_key").alias("r_request_key"),
+            F.col("ts").alias("ret_ts"),
+        )
+        .withWatermark("ret_ts", "1 hour")
+    )
+    deadline = f"INTERVAL {cfg.pending_deadline_days} DAYS"
+    joined = req.join(
+        ret,
+        (F.col("conv_id") == F.col("r_conv_id"))
+        & (F.col("request_key") == F.col("r_request_key"))
+        & (F.col("ret_ts") >= F.col("req_ts"))
+        & (F.col("ret_ts") <= F.col("req_ts") + F.expr(deadline)),
+        "leftOuter",
+    )
+    pending = joined.filter(F.col("ret_ts").isNull()).select(
+        "conv_id",
+        F.col("request_key").alias("filename"),
+        F.col("req_ts"),
+        F.lit("pre-transcript").alias("file_stage"),
+        F.lit(
+            "File has been pending return from TranscribeMe for over 2 weeks now"
+        ).alias("error_message"),
+    )
+    sink = IdempotentBatchSink(output_root, "pending_flags")
+    q = (
+        pending.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: sink.write(df, bid))
+        .option("checkpointLocation", os.path.join(output_root, "_checkpoint_pending"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink

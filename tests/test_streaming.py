@@ -1,0 +1,261 @@
+"""Streaming-mode tests (SURVEY §5.2.3): availableNow end-to-end parity with
+the batch engine, exactly-once kill/resume, keyed validator flags, and the
+stream-stream pending join."""
+
+import os
+import shutil
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from daily_journal_dataflow_qc_spark.pipeline import run_batch_from_dir
+from daily_journal_dataflow_qc_spark.streaming.job import (
+    start_pending_flags_query,
+    start_session_qc_query,
+)
+from daily_journal_dataflow_qc_spark.streaming.state import turn_stream_validator
+
+from .compare_util import compare_frames
+
+QC_COMPARE_COLS = [
+    "conv_id",
+    "day",
+    "daily_submission_number",
+    "timeofday",
+    "weekday",
+    "submit_hour_int",
+    "length_minutes",
+    "overall_db",
+    "mean_flatness",
+    "subject_consent_month",
+    "audio_approved_bool",
+    "filename",
+]
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, synth_dir):
+    """Multi-file copy of the synthetic transcripts so the file source can
+    form several micro-batches; each conv stays in ONE file so per-batch
+    submission ranking matches the reference/batch semantics (§7.3.1)."""
+    root = "/tmp/djdq_stream_input"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/transcripts")
+    os.makedirs(f"{root}/tool_calls")
+    tr = spark.read.parquet(f"{synth_dir}/transcripts.parquet")
+    # stream-end punctuation: one sentinel turn far past max_ts + watermark
+    # delay + session gap, so the final watermark closes every real session
+    # (a continuous production stream closes them naturally). The sentinel
+    # conv has no conv_meta row, so the identity join drops it.
+    sentinel = tr.limit(1).select(
+        F.lit("__sentinel__").alias("conv_id"),
+        F.lit(1).cast("int").alias("turn_idx"),
+        F.lit("S1").alias("role"),
+        F.lit("end").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.to_timestamp(F.lit("2090-01-01 00:00:00"))).alias("ts"),
+    )
+    (
+        tr.repartition(6, "conv_id")
+        .write.mode("overwrite")
+        .parquet(f"{root}/transcripts")
+    )
+    # write the sentinel as a LATER file (file source processes in mtime
+    # order) so its watermark advance lands in the final micro-batch and
+    # can't mark real data late
+    time.sleep(1.2)
+    sentinel.coalesce(1).write.mode("append").parquet(f"{root}/transcripts")
+
+    # time-ordered variant for multi-batch (kill/resume) runs: files split on
+    # ts quantiles with increasing mtime, simulating stream progression
+    os.makedirs(f"{root}/transcripts_timed")
+    bounds = (
+        tr.selectExpr("percentile(cast(ts as double), array(0.25, 0.5, 0.75)) p")
+        .head()[0]
+    )
+    prev = None
+    for i, b in enumerate(list(bounds) + [None]):
+        part = tr
+        if prev is not None:
+            part = part.filter(F.col("ts").cast("double") >= prev)
+        if b is not None:
+            part = part.filter(F.col("ts").cast("double") < b)
+        part.coalesce(1).write.mode("append").parquet(f"{root}/transcripts_timed")
+        time.sleep(1.2)
+        prev = b
+    sentinel.coalesce(1).write.mode("append").parquet(f"{root}/transcripts_timed")
+    (
+        spark.read.parquet(f"{synth_dir}/tool_calls.parquet")
+        .repartition(4, "conv_id")
+        .write.mode("overwrite")
+        .parquet(f"{root}/tool_calls")
+    )
+    return root
+
+
+def test_streaming_qc_matches_batch(spark, stream_input, synth_dir, cfg):
+    out_root = "/tmp/djdq_stream_out1"
+    shutil.rmtree(out_root, ignore_errors=True)
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    q, sinks = start_session_qc_query(
+        spark, f"{stream_input}/transcripts", out_root, conv_meta, cfg
+    )
+    q.awaitTermination(600)
+    got = sinks["audio_qc"].read(spark).select(*QC_COMPARE_COLS).toPandas()
+    want = (
+        run_batch_from_dir(spark, synth_dir, cfg)
+        .audio_qc.select(*QC_COMPARE_COLS)
+        .toPandas()
+    )
+    compare_frames(
+        got,
+        want,
+        ["conv_id", "day", "daily_submission_number"],
+        rounded_atol_cols={"length_minutes": 2e-3},
+    )
+
+
+def test_streaming_exactly_once_kill_resume(spark, stream_input, synth_dir, cfg):
+    """Kill after the first micro-batches, restart from the checkpoint:
+    final committed row set identical to an uninterrupted run with the SAME
+    time-ordered batching (per-batch submission rank is batching-dependent by
+    design — reference semantics, SURVEY §7.3.1)."""
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+
+    base_root = "/tmp/djdq_stream_base"
+    shutil.rmtree(base_root, ignore_errors=True)
+    q, base_sinks = start_session_qc_query(
+        spark, f"{stream_input}/transcripts_timed", base_root, conv_meta, cfg,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    baseline = base_sinks["audio_qc"].read(spark).select(*QC_COMPARE_COLS).toPandas()
+
+    kill_root = "/tmp/djdq_stream_kill"
+    shutil.rmtree(kill_root, ignore_errors=True)
+    q2, sinks2 = start_session_qc_query(
+        spark, f"{stream_input}/transcripts_timed", kill_root, conv_meta, cfg,
+        max_files_per_trigger=1,
+    )
+    # kill mid-stream: wait for at least one committed batch, then stop
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if sinks2["audio_qc"].committed(0):
+            break
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(120)
+
+    # resume from the same checkpoint to completion
+    q3, sinks3 = start_session_qc_query(
+        spark, f"{stream_input}/transcripts_timed", kill_root, conv_meta, cfg,
+        max_files_per_trigger=1,
+    )
+    q3.awaitTermination(600)
+    resumed = sinks3["audio_qc"].read(spark).select(*QC_COMPARE_COLS).toPandas()
+    compare_frames(
+        resumed,
+        baseline,
+        ["conv_id", "day", "daily_submission_number"],
+        rounded_atol_cols={"length_minutes": 2e-3},
+    )
+
+
+def _run_validator_stream(spark, batches):
+    """Drive turn_stream_validator as a real streaming query over parquet
+    files written in mtime order (one file per micro-batch)."""
+    from daily_journal_dataflow_qc_spark import schemas
+
+    root = "/tmp/djdq_validator_in"
+    out: list[pd.DataFrame] = []
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    for pdf in batches:
+        sdf = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+        sdf.coalesce(1).write.mode("append").parquet(root)
+        time.sleep(1.2)
+    turns = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    flags = turn_stream_validator(turns)
+    ckpt = "/tmp/djdq_validator_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        flags.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(columns=["conv_id", "turn_idx", "kind"])
+
+
+def test_stateful_validator_flags(spark):
+    """Duplicate and out-of-order turn_idx arrivals produce exactly the
+    expected flag rows, with HWM + sketch state surviving micro-batch
+    boundaries; monotone advance stays silent."""
+
+    def rows(conv, idxs, t0):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(idxs),
+                "turn_idx": pd.array(idxs, dtype="int32"),
+                "role": ["S1"] * len(idxs),
+                "text": ["x"] * len(idxs),
+                "tool": [None] * len(idxs),
+                "ts": pd.to_datetime([f"2023-03-01 {t0}:00:{i:02d}" for i in range(len(idxs))]).tz_localize("UTC"),
+            }
+        )
+
+    # batch 1: c1 advances to hwm=5 with one in-batch re-delivery of 2;
+    # batch 2 (separate micro-batch): re-delivery of 1 (duplicate, needs the
+    # sketch state from batch 1) and novel 4 (out_of_order, below hwm=5)
+    b1 = pd.concat([rows("c1", [1, 2, 3, 2, 5], "10"), rows("c2", [1, 2], "11")])
+    b2 = rows("c1", [1, 4, 6], "12")
+    flags = _run_validator_stream(spark, [b1, b2])
+    c1 = flags[flags.conv_id == "c1"]
+    assert set(zip(c1.turn_idx, c1.kind)) == {
+        (2, "duplicate"),
+        (1, "duplicate"),
+        (4, "out_of_order"),
+    }, flags.to_dict("records")
+    assert len(flags[flags.conv_id == "c2"]) == 0
+
+
+def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg):
+    """Stream-stream left-outer join: requests unmatched within the deadline
+    == the batch engine's pending-flag keys for requests old enough that the
+    final watermark passed their deadline."""
+    out_root = "/tmp/djdq_stream_pending"
+    shutil.rmtree(out_root, ignore_errors=True)
+    q, sink = start_pending_flags_query(spark, f"{stream_input}/tool_calls", out_root, cfg)
+    q.awaitTermination(600)
+    got = sink.read(spark).toPandas()
+
+    tc = pd.read_parquet(f"{synth_dir}/tool_calls.parquet")
+    req = tc[tc.kind == "request"]
+    ret = tc[tc.kind == "return"]
+    ret_keys = set(zip(ret.conv_id, ret.request_key))
+    # the global watermark is the MIN across both inputs' watermarks
+    # (each = max event time seen - 1h delay)
+    wm = min(req.ts.max(), ret.ts.max()) - pd.Timedelta(hours=1)
+    expect = {
+        (r.conv_id, r.request_key)
+        for r in req.itertuples()
+        if (r.conv_id, r.request_key) not in ret_keys
+        and r.ts + pd.Timedelta(days=14) < wm
+    }
+    got_keys = set(zip(got.conv_id, got.filename))
+    assert expect, "fixture produced no pending candidates"
+    assert expect <= got_keys, f"missing pending flags: {sorted(expect - got_keys)[:5]}"
+    # nothing flagged that actually has a return within the deadline
+    for c, k in got_keys:
+        match = ret[(ret.conv_id == c) & (ret.request_key == k)]
+        r = req[(req.conv_id == c) & (req.request_key == k)]
+        if len(match) and len(r):
+            assert match.ts.min() > r.ts.min() + pd.Timedelta(days=14)
