@@ -473,6 +473,74 @@ def q_fingerprint(spark, sf):
     return d.select("doc_id", _hex_hash(norm).alias("fingerprint"))
 
 
+def q_lsh_candidates(spark, sf):
+    # training-data op: banded minhash LSH candidate pairs (4 bands x 1 row)
+    from daily_journal_dataflow_qc_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(d, n_hashes=4, shingle_k=3)
+    return lsh_candidate_pairs(sig, bands=4, rows_per_band=1)
+
+
+def q_near_dup_pairs(spark, sf):
+    # training-data op: full MinHash+LSH near-dup pipeline w/ Jaccard verify
+    from daily_journal_dataflow_qc_spark.operators.dedup import near_dup_pairs
+
+    d = _t(spark, sf, "documents")
+    return near_dup_pairs(d, threshold=0.2, n_hashes=4, bands=4, shingle_k=3)
+
+
+def q_simhash_docs(spark, sf):
+    # training-data op: 16-bit simhash per document
+    from daily_journal_dataflow_qc_spark.operators.dedup import simhash
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", simhash(F.lower(F.col("text")), 16).alias("simhash"))
+
+
+def q_ngram_jaccard_adjacent(spark, sf):
+    # training-data op: exact 3-gram Jaccard between consecutive doc ids
+    from daily_journal_dataflow_qc_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("text_b"))
+    pairs = a.join(b, "id_a")
+    return ngram_jaccard(pairs, k=3).select("id_a", "jaccard")
+
+
+def q_lang_id(spark, sf):
+    # training-data op: stopword-vote language ID
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import lang_id
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.lower(F.col("text"))).alias("lang_pred"))
+
+
+def q_media_features(spark, sf):
+    # training-data op: multimodal binary->feature plumbing (fake decoder;
+    # NOT SQL-expressible -> rows-only check)
+    from daily_journal_dataflow_qc_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=64, seed=42)
+    return extract_features(media, decoder="fake")
+
+
+def q_lsh_bucketed_ann(spark, sf):
+    # training-data op: LSH-bucketed approximate NN (scale path; approximate
+    # by construction -> rows-only check)
+    from daily_journal_dataflow_qc_spark.operators.similarity import lsh_bucketed_knn
+
+    e = _t(spark, sf, "embeddings")
+    return lsh_bucketed_knn(e, n_planes=6, seed=42)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -507,6 +575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "lsh_candidates": q_lsh_candidates,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash_docs": q_simhash_docs,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "lang_id": q_lang_id,
+        "media_features": q_media_features,
+        "lsh_bucketed_ann": q_lsh_bucketed_ann,
     }
 
 
@@ -516,7 +591,84 @@ def oracle_sql() -> dict[str, str]:
         f"x -> CAST(('0x' || substring(md5('s{i}:' || x), 1, 15)) AS BIGINT))) AS mh{i}"
         for i in range(4)
     )
-    return {
+    words = "string_split(lower(text), ' ')"
+    shingles = (
+        f"list_distinct(CASE WHEN len({words}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({words}) - 2), "
+        f"i -> array_to_string(list_slice({words}, i, i + 2), ' ')) "
+        f"ELSE [array_to_string({words}, ' ')] END)"
+    )
+    sh_mh = ", ".join(
+        f"list_min(list_transform(s, x -> CAST(('0x' || substring(md5('s{i}:' || x), 1, 15)) AS BIGINT))) AS mh{i}"
+        for i in range(4)
+    )
+    simhash_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    stop_en = "'the','a','of','and','to','is','in','it','that','was'"
+    stop_es = "'el','la','de','y','que','en','un','una','los','es'"
+    stop_fr = "'le','la','de','et','que','en','un','une','les','est'"
+    extra = {
+        "lsh_candidates": f"""
+            WITH sh AS (SELECT doc_id, {shingles} AS s FROM documents),
+            sig AS (SELECT doc_id, {sh_mh} FROM sh)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+        """,
+        "near_dup_pairs": f"""
+            WITH sh AS (SELECT doc_id, {shingles} AS s FROM documents),
+            sig AS (SELECT doc_id, s, {sh_mh} FROM sh),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.s AS sa, b.s AS sb
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                 AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(len(list_intersect(sa, sb)) /
+                             len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+                FROM cand
+            ) WHERE jaccard >= 0.2
+        """,
+        "simhash_docs": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform({words},
+                           x -> CAST(('0x' || substring(md5('sim:' || x), 1, 15)) AS BIGINT)) AS hs
+                FROM documents
+            )
+            SELECT doc_id, CAST({simhash_terms} AS BIGINT) AS simhash FROM h
+        """,
+        "ngram_jaccard_adjacent": f"""
+            WITH sh AS (SELECT doc_id, {shingles} AS s FROM documents)
+            SELECT a.doc_id AS id_a,
+                   round(len(list_intersect(a.s, b.s)) /
+                         len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "lang_id": f"""
+            WITH sc AS (
+                SELECT doc_id,
+                       len(list_filter({words}, x -> x IN ({stop_en}))) AS en,
+                       len(list_filter({words}, x -> x IN ({stop_es}))) AS es,
+                       len(list_filter({words}, x -> x IN ({stop_fr}))) AS fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, es, fr) <= 0 THEN 'unknown'
+                        WHEN en = greatest(en, es, fr) THEN 'en'
+                        WHEN es = greatest(en, es, fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM sc
+        """,
+        # media_features / lsh_bucketed_ann: not SQL-expressible (pandas UDF
+        # plumbing / approximate bucketing) -> rows-only driver check
+    }
+    return extra | {
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

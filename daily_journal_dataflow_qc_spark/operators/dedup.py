@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All built from DataFrame primitives (no driver-side loops); hashing is the
+portable md5-prefix hash so every operator is oracle-checkable in DuckDB.
+
+* ``exact_dedup``          — content-hash groupBy, keep deterministic min-id.
+* ``minhash_signatures``   — word-shingle minhash (n permutations) per doc.
+* ``lsh_candidate_pairs``  — banded LSH: docs sharing any band bucket.
+* ``near_dup_pairs``       — LSH candidates verified with exact shingle-set
+                             Jaccard >= threshold (the MinHash+LSH pipeline:
+                             shingle -> minhash -> band -> bucket-join ->
+                             verify).
+* ``ngram_jaccard``        — exact Jaccard between explicit pairs.
+* ``simhash``              — b-bit simhash per doc; ``simhash_near_dups``
+                             pairs within a Hamming radius.
+
+Scale notes: signatures/simhash are single-pass projections (no shuffle);
+the bucket join shuffles only (band_idx, band_hash) keys, so the pair space
+is the bucket-collision mass, not O(N^2). Verification joins shingle arrays
+only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_hash
+
+
+def word_shingles(text_lc: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; short docs fall back to the whole text."""
+    w = F.split(text_lc, " ", -1)
+    full = F.transform(
+        F.sequence(F.lit(1), F.size(w) - k + 1),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= k, full).otherwise(F.array(F.array_join(w, " ")))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (deterministic: min id)."""
+    keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, mh0..mh{n-1}) — min of seeded hashes over shingles."""
+    sh = word_shingles(F.lower(F.col(text_col)), shingle_k)
+    out = df.select(F.col(id_col), sh.alias("shingles"))
+    cols = {
+        f"mh{i}": F.array_min(
+            F.transform(F.col("shingles"), (lambda seed: (lambda x: seeded_hash(x, seed)))(f"s{i}:"))
+        )
+        for i in range(n_hashes)
+    }
+    return out.withColumns(cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                seeded_hash(F.concat_ws("_", *[p.cast("string") for p in parts]), f"band{b}:").alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline with exact-Jaccard verification."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    sh = sig.select(F.col(id_col), "shingles")
+    pairs = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-gram Jaccard for explicit text pairs."""
+    sa = word_shingles(F.lower(F.col(text_a)), k)
+    sb = word_shingles(F.lower(F.col(text_b)), k)
+    jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
+    return pairs.withColumn("jaccard", F.round(jac, 4))
+
+
+def simhash(text_lc: Column, bits: int = 16) -> Column:
+    """b-bit simhash: per-word hash, each bit voted +1/-1 by all words."""
+    hashes = F.transform(F.split(text_lc, " ", -1), lambda x: seeded_hash(x, "sim:"))
+
+    def bit_vote(j: int):
+        # factory: F.aggregate's merge lambda must take EXACTLY two params
+        return lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
+        acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pairs within a Hamming radius; blocked on simhash halves so each side
+    of the join only meets candidates sharing an exact half (a radius<=
+    bits/2 guarantee at 2 blocks; increase blocks for larger radii)."""
+    half = bits // 2
+    s = df.select(F.col(id_col), simhash(F.lower(F.col(text_col)), bits).alias("sh"))
+    blocked = s.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), (F.col("sh") % (1 << half)).alias("key")),
+                F.struct(F.lit(1).alias("blk"), F.shiftright("sh", half).alias("key")),
+            )
+        ).alias("b"),
+    ).select(id_col, "sh", "b.blk", "b.key")
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "blk", "key")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "blk", "key")
+    return (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

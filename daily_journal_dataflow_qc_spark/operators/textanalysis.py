@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All JVM-side
+built-ins (oracle-checkable); no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_hash
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "it", "that", "was"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "est"],
+}
+
+
+def _stop_hits(words: Column, lang: str) -> Column:
+    return F.size(F.filter(words, lambda x: x.isin(*STOPWORDS[lang])))
+
+
+def lang_id(text_lc: Column) -> Column:
+    """n-gram-free stopword-vote language ID: argmax of per-language stopword
+    hit counts; 'unknown' when no language scores at all. Deterministic
+    tie-break: fixed language order (en, es, fr)."""
+    words = F.split(text_lc, " ", -1)
+    en, es, fr = (_stop_hits(words, lg) for lg in ("en", "es", "fr"))
+    best = F.greatest(en, es, fr)
+    return (
+        F.when(best <= 0, "unknown")
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .otherwise("fr")
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality signals + a composite score
+    in [0,1] (heuristic gate for training-data filtering)."""
+    lc = F.lower(F.col(text_col))
+    words = F.split(lc, " ", -1)
+    n_chars = F.length(lc)
+    n_words = F.size(words)
+    stop_ratio = _stop_hits(words, "en") / n_words
+    punct_ratio = F.size(F.regexp_extract_all(lc, F.lit("[^a-z0-9 ]"), 0)) / F.greatest(n_chars, F.lit(1))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    length_ok = (n_words >= 5) & (n_words <= 5000)
+    wordlen_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    punct_ok = punct_ratio <= 0.3
+    score = (
+        length_ok.cast("int") + wordlen_ok.cast("int") + punct_ok.cast("int")
+    ) / 3.0
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_words": n_words.cast("long"),
+            "stopword_ratio": F.round(stop_ratio, 4),
+            "punct_ratio": F.round(punct_ratio, 4),
+            "mean_word_len": F.round(mean_word_len, 2),
+            "quality_score": F.round(score, 4),
+        }
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters / digits / other)."""
+    lc = F.lower(F.col(text_col))
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(F.split(lc, " ", -1)).cast("long"),
+            "re_tokens": F.size(
+                F.regexp_extract_all(lc, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+            ).cast("long"),
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: min shingle-hash per window of k-gram
+    hashes, reduced to a compact set (robust to small edits — equal
+    fingerprint sets => near-identical docs)."""
+    lc = F.lower(F.col(text_col))
+    words = F.filter(F.split(lc, " ", -1), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: seeded_hash(F.array_join(F.slice(words, i, 3), " "), "fp:"),
+    )
+    n = F.size(grams)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return df.withColumn("fingerprints", F.array_distinct(mins)).withColumn(
+        "fingerprint", seeded_hash(F.array_join(F.sort_array("fingerprints").cast("array<string>"), ","), "doc:")
+    )
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = quality_metrics(df, text_col)
+    out = token_counts(out, text_col)
+    return out.withColumn("lang_pred", lang_id(F.lower(F.col(text_col))))

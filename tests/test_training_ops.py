@@ -1,0 +1,156 @@
+"""Semantic tests for the training-data operators (dedup / similarity /
+text analysis / multimodal) on constructed fixtures with known answers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from daily_journal_dataflow_qc_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs,
+    ngram_jaccard,
+    simhash_near_dups,
+)
+from daily_journal_dataflow_qc_spark.operators.multimodal import (
+    extract_features,
+    synthesize_media,
+)
+from daily_journal_dataflow_qc_spark.operators.similarity import (
+    brute_force_knn,
+    lsh_bucketed_knn,
+)
+from daily_journal_dataflow_qc_spark.operators.textanalysis import with_text_analysis
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the old wooden bridge near the quiet river bank"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+FAR = "completely different content about spark shuffles and partition pruning strategies"
+
+
+def _docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [BASE, NEAR, FAR, BASE],  # 3 = exact dup of 0
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(spark):
+    d = exact_dedup(_docs(spark)).toPandas()
+    assert sorted(d.doc_id) == [0, 1, 2]  # dup id=3 removed, min id kept
+
+
+def test_minhash_lsh_near_dup(spark):
+    pairs = near_dup_pairs(
+        _docs(spark), threshold=0.5, n_hashes=8, bands=4, shingle_k=3
+    ).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 3) in got and pairs[ (pairs.id_a==0)&(pairs.id_b==3) ].jaccard.iloc[0] == 1.0
+    assert (0, 1) in got, "one-token edit should collide in some band and pass jaccard"
+    for a, b in got:
+        assert 2 not in (a, b), "unrelated doc must not be a near-dup"
+
+
+def test_simhash_near_dups(spark):
+    pairs = simhash_near_dups(_docs(spark), bits=16, max_hamming=3).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 3) in got
+    assert pairs[(pairs.id_a == 0) & (pairs.id_b == 3)].hamming.iloc[0] == 0
+    for a, b in got:
+        assert 2 not in (a, b)
+
+
+def test_ngram_jaccard(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"text_a": [BASE, BASE], "text_b": [BASE, FAR]})
+    )
+    j = ngram_jaccard(pairs).toPandas().jaccard.tolist()
+    assert j[0] == 1.0 and j[1] == 0.0
+
+
+def test_lang_id_and_quality(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat is in the garden and it was a nice day",
+                "el gato es de la casa y que los perros en un jardin",
+                "le chat est dans le jardin et les fleurs de la maison",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    out = with_text_analysis(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "es"
+    assert out.loc[2, "lang_pred"] == "fr"
+    assert out.loc[3, "lang_pred"] == "unknown"
+    assert out.loc[0, "quality_score"] == 1.0
+    assert out.loc[3, "n_words"] == 3
+    assert (out["ws_tokens"] >= 1).all() and (out["re_tokens"] >= out["ws_tokens"] - 1).all()
+
+
+def test_brute_force_vs_lsh_ann(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # make pairs (2i, 2i+1) near-identical so NN structure is known
+    vecs = np.repeat(base[:20], 2, axis=0)
+    vecs[1::2] += rng.standard_normal((20, 16)).astype(np.float32) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    exact = brute_force_knn(df, df, k=1).toPandas().set_index("vec_id")
+    for i in range(0, 40, 2):
+        assert exact.loc[i, "nn_id"] == i + 1
+        assert exact.loc[i + 1, "nn_id"] == i
+    approx = lsh_bucketed_knn(df, n_planes=4, seed=1).toPandas().set_index("vec_id")
+    # paired twins share every hyperplane side (cos ~ 1) -> same bucket
+    hits = sum(
+        1 for i in range(40) if i in approx.index and approx.loc[i, "nn_id"] == (i ^ 1)
+    )
+    assert hits >= 30, f"LSH recall too low: {hits}/40"
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=30, seed=7)
+    feats = extract_features(media, decoder="fake").toPandas()
+    assert len(feats) == 30
+    assert set(feats.kind) == {"image", "audio", "video"}
+    assert (feats.n_bytes > 0).all()
+    # deterministic: same input -> same features
+    again = extract_features(media, decoder="fake").toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        again.sort_values("media_id").reset_index(drop=True),
+    )
+    # real decoder is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_summaries_match_pandas(spark, synth_dir, cfg):
+    from daily_journal_dataflow_qc_spark.operators.summaries import (
+        conv_level_summary,
+        group_level_summary,
+    )
+    from daily_journal_dataflow_qc_spark.pipeline import run_batch_from_dir
+
+    accepted = run_batch_from_dir(spark, synth_dir, cfg).accepted
+    conv = conv_level_summary(accepted, cfg).toPandas().set_index("conv_id")
+    acc = accepted.toPandas()
+    g = acc.groupby("conv_id")
+    want_days = g["day"].nunique()
+    want_minutes = g["length_minutes"].sum().round(3)
+    for c in want_days.index:
+        assert conv.loc[c, "num_days_journal_submit"] == want_days[c]
+        assert abs(conv.loc[c, "sum_minutes_audio_uploaded"] - want_minutes[c]) < 1e-6
+        consent = pd.Timestamp(acc[acc.conv_id == c]["consent_date_at_accounting"].iloc[0])
+        sd = (pd.Timestamp(cfg.compute_date) - consent).days + 1
+        assert conv.loc[c, "study_day_at_compute_time"] == sd
+    site = group_level_summary(accepted, cfg).toPandas()
+    assert site["num_subjects_any_journal"].sum() == len(want_days)
+    assert abs(site["sum_minutes_audio_uploaded"].sum() - want_minutes.sum()) < 1e-3
