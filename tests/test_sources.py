@@ -1,0 +1,74 @@
+"""Source-layer tests: nested activity-JSON scan + raw transcript-line parse."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from daily_journal_dataflow_qc_spark.sources.activity_json import (
+    accounting_rows,
+    mp3_name_valid,
+    parse_activity_json,
+)
+from daily_journal_dataflow_qc_spark.sources.transcript_text import (
+    parse_transcript_lines,
+)
+
+
+def test_activity_json_scan(spark):
+    payloads = [
+        (
+            "f1.json",
+            '[{"timestamp": 1677600000000, "static_data": {"url": "SOUND_1"}},'
+            ' {"timestamp": 1677600100000, "static_data": {}},'
+            ' {"timestamp": 1677600200000, "static_data": {"url": "SOUND_2"}},'
+            ' {"timestamp": 1677600300000}]',
+        ),
+        ("f2.json", '[{"timestamp": 1677600400000, "static_data": {}}]'),
+    ]
+    df = spark.createDataFrame(payloads, "json_filename string, payload string")
+    recs = parse_activity_json(df)
+    acct = accounting_rows(recs).toPandas().set_index("json_filename")
+    assert acct.loc["f1.json", "diary_records_count"] == 2
+    assert acct.loc["f1.json", "ema_records_count"] == 1
+    assert acct.loc["f1.json", "number_of_records"] == 4
+    assert acct.loc["f2.json", "ema_records_count"] == 1
+    diaries = recs.filter(F.col("record_kind") == "diary").toPandas()
+    assert sorted(diaries.json_logged_sound_number) == ["SOUND_1", "SOUND_2"]
+    assert diaries.ts.notna().all()
+
+
+def test_mp3_name_validation(spark):
+    names = [
+        ("U123_PronetLA_activity_2023_03_01_sound_1.mp3", "PronetLA", True),
+        ("X123_PronetLA_activity_2023_03_01_sound_1.mp3", "PronetLA", False),  # no U
+        ("U123_PronetXX_activity_2023_03_01_sound_1.mp3", "PronetLA", False),  # site
+        ("U123_PronetLA_activity_2023_3_01_sound_1.mp3", "PronetLA", False),  # datestamp len
+        ("U123_PronetLA_activity_2023_03_01_audio_1.mp3", "PronetLA", False),  # 'sound'
+    ]
+    df = spark.createDataFrame([(n, s) for n, s, _ in names], "name string, site string")
+    got = df.select(mp3_name_valid(F.col("name"), F.col("site")).alias("ok")).toPandas()
+    assert got.ok.tolist() == [e for _, _, e in names]
+
+
+def test_transcript_line_parse(spark):
+    lines = [
+        "S1 00:01.500 hello there world",          # MM:SS.mmm
+        "S2 1:02:03.250 with an hours field",      # HH:MM:SS.mmm
+        "S1 02:10 no millis here",                 # MM:SS
+        '"S1 00:05.000 quoted line"',              # wrapping quotes
+        "S1\t00:07.000\ttabbed\tline",             # tabs
+        "garbage line with no timestamp",
+    ]
+    df = spark.createDataFrame(list(enumerate(lines)), "line_no long, value string")
+    out = (
+        parse_transcript_lines(df)
+        .toPandas()
+        .sort_values("line_no")
+        .reset_index(drop=True)
+    )
+    assert out.speakerID.tolist()[:5] == ["S1", "S2", "S1", "S1", "S1"]
+    assert abs(out.minutes[0] - (0 + 1.5 / 60)) < 1e-6
+    assert abs(out.minutes[1] - (60 + 2 + 3.25 / 60)) < 1e-6
+    assert abs(out.minutes[2] - (2 + 10 / 60)) < 1e-6
+    assert out.text[3] == "quoted line"
+    assert out.text[4] == "tabbed line"
+    assert pd.isna(out.timefromstart[5])
