@@ -253,11 +253,7 @@ def generate(
     # ------------------------------------------------ turn-level anomalies
     rng2 = np.random.default_rng(seed + 7)
     n = len(transcripts)
-    # duplicates: re-emit ~1% of rows verbatim (exact re-delivery: same
-    # event time — batch dedup keeps min-ts, streaming dedup keeps first
-    # arrival; identical payloads make both rules agree deterministically)
-    dup_rows = transcripts.iloc[rng2.random(n) < 0.01].copy()
-    # out-of-order: swap turn_idx of ~1% adjacent same-conv pairs
+    # out-of-order FIRST: swap turn_idx of ~1% adjacent same-conv pairs
     swap_at = np.where(rng2.random(n - 1) < 0.01)[0]
     idx_col = transcripts["turn_idx"].to_numpy().copy()
     conv_col = transcripts["conv_id"].to_numpy()
@@ -265,6 +261,10 @@ def generate(
         if conv_col[i] == conv_col[i + 1]:
             idx_col[i], idx_col[i + 1] = idx_col[i + 1], idx_col[i]
     transcripts["turn_idx"] = idx_col
+    # THEN duplicates: re-emit ~1% of (post-swap) rows verbatim — exact
+    # re-delivery, so batch dedup (min ts) and streaming dedup (first
+    # arrival) pick physically identical rows
+    dup_rows = transcripts.iloc[rng2.random(n) < 0.01].copy()
     # gaps: drop ~0.5% of rows entirely
     keep = rng2.random(n) >= 0.005
     transcripts = pd.concat([transcripts[keep], dup_rows], ignore_index=True)
@@ -327,7 +327,8 @@ def write_parquet_scaled(
         return paths
     os.makedirs(out_dir, exist_ok=True)
     transcripts, tool_calls, conv_meta = generate_scaled(base_convs, replicas, seed)
-    pq_opts = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pq_opts = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True,
+                   row_group_size=250_000)  # small row groups -> parallel scans
     transcripts["ts"] = transcripts["ts"].dt.tz_localize("UTC")
     transcripts.to_parquet(paths["transcripts"], **pq_opts)
     tool_calls["ts"] = tool_calls["ts"].dt.tz_localize("UTC")
@@ -360,7 +361,8 @@ def write_parquet(
     transcripts, tool_calls, conv_meta = generate(n_convs=n_convs, seed=seed, **kwargs)
     # Spark rejects parquet TIMESTAMP(NANOS); write microsecond instant
     # timestamps (UTC-localized -> Spark TimestampType, not TIMESTAMP_NTZ)
-    pq_opts = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pq_opts = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True,
+                   row_group_size=250_000)  # small row groups -> parallel scans
     tr = transcripts.copy()
     tr["ts"] = tr["ts"].dt.tz_localize("UTC")
     tr.to_parquet(paths["transcripts"], **pq_opts)

@@ -105,7 +105,8 @@ def run_batch(
         "word_repeats",
         "repeats",
         "restarts",
-    ).orderBy("conv_id", "turn_idx")
+    )  # no global sort: the (conv_id, turn_idx) parity ordering is applied
+    # by consumers/tests; a range shuffle of the widest output is wasted work
 
     return PipelineOutputs(
         accepted=accepted,

@@ -92,20 +92,40 @@ def session_qc_aggregate(projected: DataFrame, cfg: PipelineConfig) -> DataFrame
         F.sum("repeats").cast("double").alias("repeats_count"),
         F.sum("restarts").cast("double").alias("restarts_count"),
         F.min("is_ascii").alias("all_ascii"),
-        # ordered (ts, word_count) pairs: gap stats computed post-agg,
-        # JVM-side, from this bounded per-diary array
-        F.sort_array(F.collect_list(F.struct("ts", "word_count"))).alias("_pairs"),
+        # full per-turn payload, session-ordered: gap stats are computed
+        # post-agg JVM-side, and the turn-stats sink explodes this array
+        # AFTER the window closes (so per-turn lead gaps are exact)
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "ts",
+                    "turn_idx",
+                    "role",
+                    "text",
+                    "word_count",
+                    "inaudibles_and_questionables",
+                    "other_bracketed_words",
+                    "redactions",
+                    "nonverbal_edits",
+                    "verbal_edits",
+                    "stutter_repeats",
+                    "word_repeats",
+                    "repeats",
+                    "restarts",
+                )
+            )
+        ).alias("_turns"),
     )
     secs = F.transform(
-        F.col("_pairs"), lambda p: p.getField("ts").cast("double")
+        F.col("_turns"), lambda p: p.getField("ts").cast("double")
     )
-    n = F.size(F.col("_pairs"))
+    n = F.size(F.col("_turns"))
     gaps = F.zip_with(
         F.slice(secs, 1, n - 1), F.slice(secs, 2, n - 1), lambda a, b: b - a
     )
     gap_per_word = F.zip_with(
         gaps,
-        F.transform(F.slice(F.col("_pairs"), 1, n - 1), lambda p: p.getField("word_count")),
+        F.transform(F.slice(F.col("_turns"), 1, n - 1), lambda p: p.getField("word_count")),
         lambda g, wc: g / wc,
     )
     return agg.withColumns(
@@ -120,7 +140,7 @@ def session_qc_aggregate(projected: DataFrame, cfg: PipelineConfig) -> DataFrame
             "max_timestamp_space_per_word": F.round(F.array_max(gap_per_word), 3),
             "txt_encoding_type": F.when(F.col("all_ascii"), "ASCII").otherwise("UTF-8"),
         }
-    ).drop("_pairs", "all_ascii")
+    ).drop("all_ascii")
 
 
 def compile_batch(diary_rows: DataFrame, conv_meta: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -163,8 +183,14 @@ def start_session_qc_query(
     conv_meta: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     max_files_per_trigger: int | None = None,
+    tool_calls_dir: str | None = None,
 ):
     """Launch the diary-QC streaming query (availableNow trigger).
+
+    When ``tool_calls_dir`` is given, transcript-side outputs (transcript QC
+    + per-turn stats) are gated on the diary's tool-call round trip having
+    RETURNED by batch time (reference: transcripts exist only after the SFTP
+    pull) and redaction-violated diaries are excluded + flagged.
 
     Returns (query, {sink_name: IdempotentBatchSink}).
     """
@@ -180,14 +206,32 @@ def start_session_qc_query(
         "accepted": IdempotentBatchSink(output_root, "accepted"),
         "rejected": IdempotentBatchSink(output_root, "rejected"),
     }
+    if tool_calls_dir:
+        sinks["transcript_qc"] = IdempotentBatchSink(output_root, "transcript_qc")
+        sinks["turn_stats"] = IdempotentBatchSink(output_root, "turn_stats")
+        sinks["violations"] = IdempotentBatchSink(output_root, "violations")
     meta = conv_meta  # captured; static dimension
+
+    tqc_cols = [
+        "conv_id", "day", "timeofday", "weekday", "daily_submission_number",
+        "speakerID_count", "S1_sentence_count", "total_sentence_count",
+        "word_count", "min_words_in_sen", "max_words_in_sen",
+        "inaudible_count", "questionable_count", "other_bracketed_notation_count",
+        "redacted_count", "final_timestamp_minutes",
+        "min_timestamp_space_seconds", "max_timestamp_space_seconds",
+        "min_timestamp_space_per_word", "max_timestamp_space_per_word",
+        "txt_encoding_type", "filename",
+        "nonverbal_edits_count", "verbal_edits_count", "repeats_count",
+        "restarts_count",
+    ]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         qc = compile_batch(batch_df, meta, cfg)
         qc = qc.persist()
         try:
-            sinks["audio_qc"].write(qc, batch_id)
-            sinks["accepted"].write(qc.filter(F.col("audio_approved_bool") == 1), batch_id)
+            sinks["audio_qc"].write(qc.drop("_turns"), batch_id)
+            accepted = qc.filter(F.col("audio_approved_bool") == 1)
+            sinks["accepted"].write(accepted.drop("_turns"), batch_id)
             sinks["rejected"].write(
                 qc.filter(F.col("audio_approved_bool") != 1).select(
                     "conv_id",
@@ -200,6 +244,73 @@ def start_session_qc_query(
                 ),
                 batch_id,
             )
+            if tool_calls_dir:
+                # returned gating: round trip complete as of this batch
+                tc = spark.read.schema(schemas.TOOL_CALLS).parquet(tool_calls_dir)
+                req = tc.filter(F.col("kind") == "request").select(
+                    "conv_id", F.col("request_key").alias("filename")
+                )
+                ret = tc.filter(F.col("kind") == "return").select(
+                    "conv_id", F.col("request_key").alias("filename")
+                )
+                returned = accepted.join(
+                    req.join(ret, ["conv_id", "filename"], "left_semi"),
+                    ["conv_id", "filename"],
+                    "left_semi",
+                )
+                sinks["violations"].write(
+                    returned.filter(F.col("any_violated")).select(
+                        "conv_id", "day", "daily_submission_number", "filename"
+                    ),
+                    batch_id,
+                )
+                clean = returned.filter(~F.col("any_violated"))
+                sinks["transcript_qc"].write(clean.select(*tqc_cols), batch_id)
+                # per-turn stats: explode the session-ordered turn array and
+                # estimate sentence seconds (last turn uses overall_db*60 —
+                # the reproduced reference bug, SURVEY §7.3.2)
+                t = clean.select(
+                    "conv_id", "day", "daily_submission_number", "session_start",
+                    "overall_db",
+                    F.posexplode("_turns").alias("_pos", "t"),
+                    F.size("_turns").alias("_n"),
+                )
+                cur = F.col("t.ts").cast("double")
+                sec_from_start = cur - F.col("session_start").cast("double")
+                t = t.withColumn(
+                    "_next_ts",
+                    F.lead("t.ts").over(
+                        Window.partitionBy("conv_id", "day", "daily_submission_number").orderBy("_pos")
+                    ),
+                ).withColumn(
+                    "estimated_sentence_seconds",
+                    F.when(
+                        F.col("_next_ts").isNotNull(),
+                        F.col("_next_ts").cast("double") - cur,
+                    ).otherwise(F.col("overall_db") * 60.0 - sec_from_start),
+                )
+                sinks["turn_stats"].write(
+                    t.select(
+                        "conv_id",
+                        F.col("t.turn_idx").alias("turn_idx"),
+                        "day",
+                        "daily_submission_number",
+                        F.col("t.role").alias("role"),
+                        F.col("t.text").alias("text"),
+                        F.col("t.word_count").alias("word_count"),
+                        F.col("t.inaudibles_and_questionables").alias("inaudibles_and_questionables"),
+                        F.col("t.other_bracketed_words").alias("other_bracketed_words"),
+                        F.col("t.redactions").alias("redactions"),
+                        "estimated_sentence_seconds",
+                        F.col("t.nonverbal_edits").alias("nonverbal_edits"),
+                        F.col("t.verbal_edits").alias("verbal_edits"),
+                        F.col("t.stutter_repeats").alias("stutter_repeats"),
+                        F.col("t.word_repeats").alias("word_repeats"),
+                        F.col("t.repeats").alias("repeats"),
+                        F.col("t.restarts").alias("restarts"),
+                    ),
+                    batch_id,
+                )
         finally:
             qc.unpersist()
 

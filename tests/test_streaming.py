@@ -227,6 +227,41 @@ def test_stateful_validator_flags(spark):
     assert len(flags[flags.conv_id == "c2"]) == 0
 
 
+def test_streaming_transcript_side_matches_batch(spark, stream_input, synth_dir, cfg):
+    """With returned-gating on, the streaming transcript QC + per-turn stats
+    equal the batch engine's (both compute only accepted+returned diaries;
+    the batch input stream contains every return, so gating converges)."""
+    out_root = "/tmp/djdq_stream_tside"
+    shutil.rmtree(out_root, ignore_errors=True)
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    q, sinks = start_session_qc_query(
+        spark,
+        f"{stream_input}/transcripts",
+        out_root,
+        conv_meta,
+        cfg,
+        tool_calls_dir=f"{stream_input}/tool_calls",
+    )
+    q.awaitTermination(600)
+
+    batch = run_batch_from_dir(spark, synth_dir, cfg)
+
+    got_ts = sinks["turn_stats"].read(spark).toPandas()
+    want_ts = batch.turn_stats.toPandas()
+    compare_frames(got_ts, want_ts, ["conv_id", "turn_idx"])
+
+    tqc_cols = [
+        "conv_id", "day", "daily_submission_number", "speakerID_count",
+        "S1_sentence_count", "total_sentence_count", "word_count",
+        "min_words_in_sen", "max_words_in_sen", "inaudible_count",
+        "questionable_count", "other_bracketed_notation_count",
+        "redacted_count", "txt_encoding_type",
+    ]
+    got_tqc = sinks["transcript_qc"].read(spark).select(*tqc_cols).toPandas()
+    want_tqc = batch.transcript_qc.select(*tqc_cols).toPandas()
+    compare_frames(got_tqc, want_tqc, ["conv_id", "day", "daily_submission_number"])
+
+
 def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg):
     """Stream-stream left-outer join: requests unmatched within the deadline
     == the batch engine's pending-flag keys for requests old enough that the
