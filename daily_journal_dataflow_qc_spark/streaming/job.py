@@ -324,6 +324,33 @@ def start_session_qc_query(
     return q, sinks
 
 
+def start_validator_query(
+    spark: SparkSession,
+    input_dir: str,
+    output_root: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Launch the keyed per-conv stream validator (turn_idx HWM + count-min
+    dedup sketch; see streaming.state) writing duplicate/out-of-order flags
+    to an exactly-once sink."""
+    from .state import turn_stream_validator
+
+    reader = spark.readStream.schema(schemas.TRANSCRIPTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    turns = reader.parquet(input_dir)
+    flags = turn_stream_validator(turns)
+    sink = IdempotentBatchSink(output_root, "turn_flags")
+    q = (
+        flags.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: sink.write(df, bid))
+        .option("checkpointLocation", os.path.join(output_root, "_checkpoint_validator"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
+
+
 def start_pending_flags_query(
     spark: SparkSession,
     tool_calls_dir: str,

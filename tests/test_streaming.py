@@ -35,66 +35,6 @@ QC_COMPARE_COLS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def stream_input(spark, synth_dir):
-    """Multi-file copy of the synthetic transcripts so the file source can
-    form several micro-batches; each conv stays in ONE file so per-batch
-    submission ranking matches the reference/batch semantics (§7.3.1)."""
-    root = "/tmp/djdq_stream_input"
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(f"{root}/transcripts")
-    os.makedirs(f"{root}/tool_calls")
-    tr = spark.read.parquet(f"{synth_dir}/transcripts.parquet")
-    # stream-end punctuation: one sentinel turn far past max_ts + watermark
-    # delay + session gap, so the final watermark closes every real session
-    # (a continuous production stream closes them naturally). The sentinel
-    # conv has no conv_meta row, so the identity join drops it.
-    sentinel = tr.limit(1).select(
-        F.lit("__sentinel__").alias("conv_id"),
-        F.lit(1).cast("int").alias("turn_idx"),
-        F.lit("S1").alias("role"),
-        F.lit("end").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        (F.to_timestamp(F.lit("2090-01-01 00:00:00"))).alias("ts"),
-    )
-    (
-        tr.repartition(6, "conv_id")
-        .write.mode("overwrite")
-        .parquet(f"{root}/transcripts")
-    )
-    # write the sentinel as a LATER file (file source processes in mtime
-    # order) so its watermark advance lands in the final micro-batch and
-    # can't mark real data late
-    time.sleep(1.2)
-    sentinel.coalesce(1).write.mode("append").parquet(f"{root}/transcripts")
-
-    # time-ordered variant for multi-batch (kill/resume) runs: files split on
-    # ts quantiles with increasing mtime, simulating stream progression
-    os.makedirs(f"{root}/transcripts_timed")
-    bounds = (
-        tr.selectExpr("percentile(cast(ts as double), array(0.25, 0.5, 0.75)) p")
-        .head()[0]
-    )
-    prev = None
-    for i, b in enumerate(list(bounds) + [None]):
-        part = tr
-        if prev is not None:
-            part = part.filter(F.col("ts").cast("double") >= prev)
-        if b is not None:
-            part = part.filter(F.col("ts").cast("double") < b)
-        part.coalesce(1).write.mode("append").parquet(f"{root}/transcripts_timed")
-        time.sleep(1.2)
-        prev = b
-    sentinel.coalesce(1).write.mode("append").parquet(f"{root}/transcripts_timed")
-    (
-        spark.read.parquet(f"{synth_dir}/tool_calls.parquet")
-        .repartition(4, "conv_id")
-        .write.mode("overwrite")
-        .parquet(f"{root}/tool_calls")
-    )
-    return root
-
-
 def test_streaming_qc_matches_batch(spark, stream_input, synth_dir, cfg):
     out_root = "/tmp/djdq_stream_out1"
     shutil.rmtree(out_root, ignore_errors=True)
