@@ -541,6 +541,64 @@ def q_lsh_bucketed_ann(spark, sf):
     return lsh_bucketed_knn(e, n_planes=6, seed=42)
 
 
+def q_flagship_events(spark, sf):
+    # END-TO-END flagship semantics over the driver's events table:
+    # dedup -> gap sessionization -> 4am-shifted study day -> submission
+    # rank -> acceptance predicate (db/duration derived deterministically)
+    ev = _t(spark, sf, "events")
+    w_dedup = Window.partitionBy("user_id", "event_id").orderBy("ts")
+    turns = ev.withColumn("_rn", F.row_number().over(w_dedup)).filter(F.col("_rn") == 1)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    sess = (
+        turns.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("b", F.when(F.col("prev_ts").isNull() | (gap > 1800 * 1000000), 1).otherwise(0))
+        .withColumn("sid", F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    consent = turns.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("consent"))
+    diaries = (
+        sess.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_turns"))
+        .join(consent, "user_id")
+    )
+    literal_day = F.datediff(F.to_date("session_start"), F.col("consent")) + 1
+    hour = F.hour("session_start")
+    diaries = diaries.withColumns(
+        {
+            "day": F.when(hour < 4, literal_day - 1).otherwise(literal_day).cast("long"),
+            "submit_hour_int": F.when(hour < 4, hour + 24).otherwise(hour).cast("long"),
+        }
+    )
+    w2 = Window.partitionBy("user_id", "day").orderBy("session_start")
+    diaries = diaries.withColumn("submission", F.row_number().over(w2).cast("long"))
+    db = 40.0 + F.pmod(F.col("user_id"), F.lit(30)).cast("double")
+    dur = F.col("n_turns").cast("double") * 7.0
+    approved = F.when((db < 50.0) | (dur < 1.0) | (F.col("submission") > 1), 0).otherwise(1)
+    return diaries.select(
+        "user_id",
+        "day",
+        "submission",
+        "submit_hour_int",
+        F.col("n_turns").alias("n_turns"),
+        approved.cast("long").alias("audio_approved_bool"),
+    )
+
+
+def q_cube_rollup(spark, sf):
+    # grouping-sets aggregation (monitoring rollup; SURVEY §2.4 optional)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.cube("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("d"),
+            "n",
+            "v",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -582,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "media_features": q_media_features,
         "lsh_bucketed_ann": q_lsh_bucketed_ann,
+        "flagship_events": q_flagship_events,
+        "cube_rollup": q_cube_rollup,
     }
 
 
@@ -667,6 +727,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         # media_features / lsh_bucketed_ann: not SQL-expressible (pandas UDF
         # plumbing / approximate bucketing) -> rows-only driver check
+        "flagship_events": """
+            WITH turns AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY user_id, event_id ORDER BY ts) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ), g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS b
+                FROM turns WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM g
+            ), consent AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS consent FROM turns GROUP BY user_id
+            ), diaries AS (
+                SELECT s.user_id, sid, min(ts) AS session_start, count(*) AS n_turns
+                FROM s GROUP BY s.user_id, sid
+            ), identity AS (
+                SELECT d.user_id, d.n_turns, d.session_start,
+                       CASE WHEN hour(session_start) < 4
+                            THEN date_diff('day', consent, CAST(session_start AS DATE))
+                            ELSE date_diff('day', consent, CAST(session_start AS DATE)) + 1 END AS day,
+                       CASE WHEN hour(session_start) < 4 THEN hour(session_start) + 24
+                            ELSE hour(session_start) END AS submit_hour_int
+                FROM diaries d JOIN consent c ON d.user_id = c.user_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY session_start) AS submission
+                FROM identity
+            )
+            SELECT user_id, CAST(day AS BIGINT) AS day, CAST(submission AS BIGINT) AS submission,
+                   CAST(submit_hour_int AS BIGINT) AS submit_hour_int,
+                   n_turns,
+                   CAST(CASE WHEN (40.0 + (user_id % 30)) < 50.0 OR n_turns * 7.0 < 1.0
+                             OR submission > 1 THEN 0 ELSE 1 END AS BIGINT) AS audio_approved_bool
+            FROM ranked
+        """,
+        "cube_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(d AS VARCHAR), 'ALL') AS d,
+                   count(*) AS n, round(sum(value), 2) AS v
+            FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
+            GROUP BY CUBE (event_type, d)
+        """,
     }
     return extra | {
         "tpch_pricing": """
