@@ -74,7 +74,11 @@ def redacted_turns(sessioned_turns: DataFrame, diaries: DataFrame) -> DataFrame:
         "timeofday",
         "weekday",
     )
-    turns = sessioned_turns.join(diary_cols, DIARY_KEY, "inner")
+    # broadcast the diary side: it is 10-1000x smaller than the turn stream
+    # (one row per accepted+returned diary) — a sort-merge join here would
+    # re-sort the whole cached turn stream (the dominant non-scaling cost at
+    # 27M turns). At extreme diary counts, drop the hint and bucket instead.
+    turns = sessioned_turns.join(F.broadcast(diary_cols), DIARY_KEY, "inner")
     red = redact_udf(normalize_text(F.col("text")))
     return turns.withColumns(
         {"text": red.getField("redacted"), "violated": red.getField("violated")}
@@ -88,7 +92,11 @@ def split_violations(red_turns: DataFrame) -> tuple[DataFrame, DataFrame]:
     the diary key the downstream stats need anyway) — no self-join, and the
     redaction UDF upstream is evaluated once.
     """
-    w = Window.partitionBy(*DIARY_KEY)
+    # same partitioning AND ordering as the turn_stats windows, so Catalyst
+    # plans ONE sort for the whole per-diary window chain
+    w = Window.partitionBy(*DIARY_KEY).orderBy("ts", "turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     flagged = red_turns.withColumn("_any_violated", F.max("violated").over(w))
     clean = flagged.filter(~F.col("_any_violated")).drop("_any_violated")
     violated = (

@@ -22,9 +22,12 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-        # 2x cores: finer tasks even out stragglers; AQE coalesces the rest
-        shuffle_partitions = 64 if n == "*" else max(8, 2 * int(n))
+        # HIGH static width + AQE coalescing: sorts/aggregations of large
+        # inputs stay within per-task execution memory (no spill) while AQE
+        # shrinks small stages back to core count. A low static width capped
+        # the 27M-row window sorts at ~350MB/task -> disk-spill thrash that
+        # didn't scale with cores (see BENCH/BASELINE.md history).
+        shuffle_partitions = 256
 
     builder = (
         SparkSession.builder.master(master)
