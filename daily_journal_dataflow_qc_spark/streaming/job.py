@@ -210,6 +210,7 @@ def start_session_qc_query(
         sinks["transcript_qc"] = IdempotentBatchSink(output_root, "transcript_qc")
         sinks["turn_stats"] = IdempotentBatchSink(output_root, "turn_stats")
         sinks["violations"] = IdempotentBatchSink(output_root, "violations")
+        sinks["disfluencies"] = IdempotentBatchSink(output_root, "disfluencies")
     meta = conv_meta  # captured; static dimension
 
     tqc_cols = [
@@ -266,6 +267,36 @@ def start_session_qc_query(
                 )
                 clean = returned.filter(~F.col("any_violated"))
                 sinks["transcript_qc"].write(clean.select(*tqc_cols), batch_id)
+                # disfluency summary (phone_transcript_sentence_stats.py:97-118;
+                # length_minutes carries overall_db — the reproduced bug)
+                total = (
+                    F.col("nonverbal_edits_count") + F.col("verbal_edits_count")
+                    + F.col("repeats_count") + F.col("restarts_count")
+                )
+                sinks["disfluencies"].write(
+                    clean.select(
+                        "conv_id",
+                        "day",
+                        "daily_submission_number",
+                        F.concat(
+                            F.regexp_replace("filename", "\\.wav$", ""),
+                            F.lit("_REDACTED_withSentenceStats.csv"),
+                        ).alias("transcript_csv_name"),
+                        F.col("overall_db").alias("length_minutes"),
+                        F.col("word_count").cast("double").alias("total_word_count"),
+                        "nonverbal_edits_count",
+                        "verbal_edits_count",
+                        "repeats_count",
+                        "restarts_count",
+                        total.alias("total_disfluencies"),
+                        (F.col("nonverbal_edits_count") / F.col("word_count")).alias("nonverbal_edits_per_word"),
+                        (F.col("verbal_edits_count") / F.col("word_count")).alias("verbal_edits_per_word"),
+                        (F.col("repeats_count") / F.col("word_count")).alias("repeats_per_word"),
+                        (F.col("restarts_count") / F.col("word_count")).alias("restarts_per_word"),
+                        (total / F.col("overall_db")).alias("disfluencies_per_minute"),
+                    ),
+                    batch_id,
+                )
                 # per-turn stats: explode the session-ordered turn array and
                 # estimate sentence seconds (last turn uses overall_db*60 —
                 # the reproduced reference bug, SURVEY §7.3.2)

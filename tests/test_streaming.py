@@ -201,6 +201,16 @@ def test_streaming_transcript_side_matches_batch(spark, stream_input, synth_dir,
     want_tqc = batch.transcript_qc.select(*tqc_cols).toPandas()
     compare_frames(got_tqc, want_tqc, ["conv_id", "day", "daily_submission_number"])
 
+    disf_cols = [
+        "conv_id", "day", "daily_submission_number", "transcript_csv_name",
+        "length_minutes", "total_word_count", "nonverbal_edits_count",
+        "verbal_edits_count", "repeats_count", "restarts_count",
+        "total_disfluencies", "disfluencies_per_minute",
+    ]
+    got_d = sinks["disfluencies"].read(spark).select(*disf_cols).toPandas()
+    want_d = batch.disfluencies.select(*disf_cols).toPandas()
+    compare_frames(got_d, want_d, ["conv_id", "day", "daily_submission_number"])
+
 
 def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg):
     """Stream-stream left-outer join: requests unmatched within the deadline
