@@ -864,8 +864,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumulative": """
             SELECT event_type, d,
-                   sum(n) OVER (PARTITION BY event_type ORDER BY d
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+                   CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
             FROM (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2)
         """,
         "dedup_keep_first": """

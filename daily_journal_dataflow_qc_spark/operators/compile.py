@@ -94,7 +94,10 @@ def rejected_set(audio_qc_df: DataFrame) -> DataFrame:
     return (
         audio_qc_df.filter(F.col("audio_approved_bool") != 1)
         .select(*REJECTED_COLS)
-        .orderBy("conv_id", "day", "daily_submission_number")
+        # within-partition sort only: a global orderBy would range-shuffle the
+        # whole output with no semantic need (files stay sorted; consumers
+        # needing total order sort the final small CSV)
+        .sortWithinPartitions("conv_id", "day", "daily_submission_number")
     )
 
 
@@ -134,7 +137,7 @@ def accepted_set(
     ).filter(F.col("daily_submission_number") == 1)
     w = Window.partitionBy("conv_id", "day").orderBy("daily_submission_number", "local_time")
     merged = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return merged.select(*ACCEPTED_COLS).orderBy("conv_id", "day")
+    return merged.select(*ACCEPTED_COLS).sortWithinPartitions("conv_id", "day")
 
 
 def issues_set(
@@ -210,5 +213,5 @@ def issues_set(
         all_issues.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .orderBy("date_detected", "conv_id", "filename", "file_stage")
+        .sortWithinPartitions("date_detected", "conv_id", "filename", "file_stage")
     )

@@ -45,16 +45,19 @@ def dedup_turns(transcripts: DataFrame) -> DataFrame:
 
 def sessionize(turns: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Assign a per-conv session_id: a new session starts when the gap to the
-    previous turn exceeds cfg.session_gap_minutes (gap-based session window;
-    batch equivalent of session_window(ts, gap))."""
+    previous turn exceeds cfg.session_gap_minutes (gap-based session window).
+
+    Exact batch equivalent of ``session_window(ts, gap)``: gaps are compared
+    at MICROSECOND precision (NOT unix_timestamp's whole-second truncation),
+    and the boundary condition is strict ``> gap`` — Spark merges a session
+    inclusively (next_start <= last_ts + gap), so a turn arriving exactly
+    ``gap`` after the previous one stays in the SAME session. Verified
+    against session_window itself in tests/test_session_boundary.py."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
-    gap_sec = cfg.session_gap_minutes * 60
+    gap_us = cfg.session_gap_minutes * 60 * 1_000_000
     prev_ts = F.lag("ts").over(w)
-    boundary = F.when(
-        prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_sec),
-        1,
-    ).otherwise(0)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    boundary = F.when(prev_ts.isNull() | (gap > gap_us), 1).otherwise(0)
     return turns.withColumn(
         "session_id",
         F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -4,15 +4,27 @@
   candidate matrix to every partition and GEMM against the streamed query
   batches via ``mapInPandas``. This is the idiomatic Spark shape for
   "small-enough dimension side": no shuffle, no cross join, Arrow batches in,
-  numpy BLAS inside. Candidate set must fit in executor memory; for larger
-  candidate sets use ``lsh_bucketed_knn`` (the scale path).
+  numpy BLAS inside. The candidate set must fit in executor memory — a hard
+  ``max_candidates`` guard enforces that instead of silently OOMing; for
+  larger candidate sets use ``lsh_bucketed_knn`` (the scale path).
 
 * ``lsh_bucketed_knn`` — approximate: random-hyperplane LSH buckets both
   sides, exact search within each bucket (an equi-join + grouped GEMM), so
   the pair space shrinks from O(N*M) to the bucket-collision mass.
+  Scale hardening: ``n_planes`` defaults to log2(N) (bucket count tracks the
+  input so expected bucket size stays ~constant as N grows), and the
+  per-bucket GEMM is CHUNKED — peak memory per task is O(chunk * bucket),
+  never O(bucket^2), so a hot bucket cannot OOM an executor.
+
+Rounding parity: cosine scores are rounded half-away-from-zero (SQL ROUND
+semantics — DuckDB/Spark round()), NOT Python round()/np.round banker's
+rounding, so .xx5 midpoints hash-match the oracle. Zero-norm vectors get a
+NaN cosine, mirroring DuckDB's list_cosine_similarity.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -21,11 +33,26 @@ from pyspark.sql import functions as F
 
 KNN_SCHEMA = "vec_id long, nn_id long, cos_sim double, rk int"
 
+# driver-side collect guard for the broadcast path (~half a GiB of float64
+# at dim 64 — beyond this the broadcast pattern is the wrong tool)
+MAX_BROADCAST_CANDIDATES = 2_000_000
 
-def _normalize(mat: np.ndarray) -> np.ndarray:
+
+def _round_half_away(x: np.ndarray, decimals: int = 2) -> np.ndarray:
+    """SQL ROUND (half away from zero); np.round / Python round are
+    half-to-even and diverge from the DuckDB oracle on .xx5 midpoints."""
+    p = 10.0**decimals
+    return np.where(np.isnan(x), x, np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p)
+
+
+def _normalize(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unit-normalize rows; returns (normalized, zero_norm_mask). Zero-norm
+    rows are left as zero vectors (dot = 0) and flagged so callers can emit
+    NaN similarities (DuckDB list_cosine_similarity parity)."""
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return mat / norms
+    zero = norms[:, 0] == 0
+    norms[zero] = 1.0
+    return mat / norms, zero
 
 
 def brute_force_knn(
@@ -35,22 +62,37 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_candidates: int = MAX_BROADCAST_CANDIDATES,
 ) -> DataFrame:
     """Exact cosine top-k via broadcast candidate matrix + batched GEMM."""
     spark = queries.sparkSession
+    n_cand = candidates.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"brute_force_knn: candidate set has {n_cand} rows > "
+            f"max_candidates={max_candidates}; the broadcast-GEMM pattern "
+            "collects all candidates to the driver. Use lsh_bucketed_knn "
+            "(bucketed approximate path) for candidate sets this large."
+        )
     cand = candidates.select(id_col, vec_col).toPandas()
     c_ids = cand[id_col].to_numpy(dtype=np.int64)
-    c_mat = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
-    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    c_mat, c_zero = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_zero))
 
     def score(batches):
-        ids, mat = bc.value
+        ids, mat, zero = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            q, q_zero = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             sims = q @ mat.T  # (batch, n_candidates)
+            # zero-norm on either side -> NaN cosine (oracle parity). DuckDB
+            # orders NaN above every number in DESC sorts, so rank NaN first.
+            if zero.any():
+                sims[:, zero] = np.inf
+            if q_zero.any():
+                sims[q_zero, :] = np.inf
             if exclude_self:
                 for r, qid in enumerate(q_ids):
                     hit = np.where(ids == qid)[0]
@@ -64,7 +106,11 @@ def brute_force_knn(
                 cols = part[r]
                 order = np.lexsort((ids[cols], -sims[r, cols]))
                 for rank, j in enumerate(cols[order], start=1):
-                    rows.append((q_ids[r], ids[j], round(float(sims[r, j]), 2), rank))
+                    s = sims[r, j]
+                    out_s = float("nan") if math.isinf(s) and s > 0 else float(s)
+                    rows.append(
+                        (q_ids[r], ids[j], float(_round_half_away(np.float64(out_s))), rank)
+                    )
             yield pd.DataFrame(rows, columns=["vec_id", "nn_id", "cos_sim", "rk"])
 
     return queries.select(id_col, vec_col).mapInPandas(score, KNN_SCHEMA)
@@ -72,18 +118,30 @@ def brute_force_knn(
 
 def lsh_bucketed_knn(
     embeddings: DataFrame,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int = 1024,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Approximate NN: random-hyperplane signature -> per-bucket exact search.
 
-    Scale path: the signature is computed JVM-side-free in one Arrow pass, the
-    bucket join is an ordinary shuffle on the signature, so it parallelizes to
-    any candidate-set size (pairs only form within buckets).
+    Scale path: the signature is one Arrow pass, the bucket join is an
+    ordinary shuffle on the signature, so it parallelizes to any input size
+    (pairs only form within buckets).
+
+    * ``n_planes=None`` scales bucket count with N: ``max(4, ceil(log2(N)))``
+      planes => ~N buckets, expected bucket size O(1) as the table grows —
+      a fixed plane count would make buckets (and the per-bucket pair space)
+      grow linearly with N.
+    * the per-bucket GEMM runs in ``chunk_rows`` slabs: peak task memory is
+      O(chunk_rows * |bucket|) instead of O(|bucket|^2).
     """
     spark = embeddings.sparkSession
+    if n_planes is None:
+        n = n_rows_hint if n_rows_hint is not None else embeddings.count()
+        n_planes = max(4, int(math.ceil(math.log2(max(n, 2)))))
     first = embeddings.select(vec_col).head()
     dim = len(first[0])
     rng = np.random.default_rng(seed)
@@ -108,15 +166,26 @@ def lsh_bucketed_knn(
         if len(pdf) < 2:
             return pd.DataFrame(columns=["vec_id", "nn_id", "cos_sim", "rk"])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        m = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        np.fill_diagonal(sims, -np.inf)
-        best = sims.argmax(axis=1)
+        m, zero = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+        n = len(ids)
+        best_j = np.empty(n, dtype=np.int64)
+        best_s = np.empty(n, dtype=np.float64)
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            sims = m[lo:hi] @ m.T  # (chunk, n) — never (n, n)
+            if zero.any():
+                sims[:, zero] = np.inf
+            sims[zero[lo:hi], :] = np.inf
+            sims[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf
+            j = sims.argmax(axis=1)
+            best_j[lo:hi] = j
+            best_s[lo:hi] = sims[np.arange(hi - lo), j]
+        out_s = np.where(np.isposinf(best_s), np.nan, best_s)
         return pd.DataFrame(
             {
                 "vec_id": ids,
-                "nn_id": ids[best],
-                "cos_sim": np.round(sims[np.arange(len(ids)), best], 2),
+                "nn_id": ids[best_j],
+                "cos_sim": _round_half_away(out_s),
                 "rk": 1,
             }
         )

@@ -110,6 +110,9 @@ def compute(
         ["conv_id", "turn_idx"], keep="first"
     )
     t = t.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    # boundary at gap > gap_sec (exact seconds): Spark session_window merges
+    # inclusively (next_start <= last_ts + gap), so a gap of exactly gap_sec
+    # stays in the same session — verified in tests/test_session_boundary.py
     gaps = t.groupby("conv_id")["ts"].diff().dt.total_seconds()
     t["session_id"] = ((gaps.isna()) | (gaps > gap_sec)).astype(int).groupby(t["conv_id"]).cumsum()
 

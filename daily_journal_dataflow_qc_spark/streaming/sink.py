@@ -30,20 +30,36 @@ class IdempotentBatchSink:
         return os.path.join(self.manifest_dir, f"batch-{batch_id}.json")
 
     def committed(self, batch_id: int) -> bool:
-        return os.path.isfile(self._manifest(batch_id))
+        """True only for a complete, valid manifest: a crash mid-write must
+        read as NOT committed so checkpoint replay re-runs the batch."""
+        path = self._manifest(batch_id)
+        if not os.path.isfile(path):
+            return False
+        try:
+            json.load(open(path))
+            return True
+        except (json.JSONDecodeError, OSError):
+            return False
 
-    def write(self, df: DataFrame, batch_id: int) -> None:
+    def write(self, df: DataFrame, batch_id: int, extra: dict | None = None) -> None:
         if self.committed(batch_id):
             return  # replayed batch after restart — exactly-once no-op
         out = os.path.join(self.dir, f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(out)  # overwrite = idempotent retry
-        with open(self._manifest(batch_id), "w") as f:
-            json.dump({"batch_id": batch_id, "path": out}, f)
+        # atomic commit: write-temp + rename (POSIX atomic) so a crash can
+        # never leave a truncated manifest that reads as committed
+        tmp = self._manifest(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "path": out, **(extra or {})}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._manifest(batch_id))
 
     def read(self, spark) -> DataFrame:
         committed = [
             json.load(open(os.path.join(self.manifest_dir, m)))["path"]
             for m in sorted(os.listdir(self.manifest_dir))
+            if m.startswith("batch-") and m.endswith(".json")
         ]
         if not committed:
             raise FileNotFoundError(f"no committed batches in {self.dir}")

@@ -50,19 +50,30 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _positions(idx: int) -> np.ndarray:
-    return (idx * _PRIMES[:SKETCH_D] + 17) % SKETCH_W
+def _positions(idx: np.ndarray) -> np.ndarray:
+    """(n, D) sketch slot positions for a vector of turn indices."""
+    return (idx[:, None] * _PRIMES[None, :SKETCH_D] + 17) % SKETCH_W
 
 
-def _sketch_add(sk: np.ndarray, idx: int) -> None:
-    sk[np.arange(SKETCH_D) * SKETCH_W + _positions(idx)] += 1
-
-
-def _sketch_contains(sk: np.ndarray, idx: int) -> bool:
-    return bool(sk[np.arange(SKETCH_D) * SKETCH_W + _positions(idx)].min() > 0)
+def _slots(idx: np.ndarray) -> np.ndarray:
+    return np.arange(SKETCH_D)[None, :] * SKETCH_W + _positions(idx)
 
 
 def validate_conv(key, pdf_iter, state: GroupState):
+    """Vectorized batch classification (no per-row Python on the hot path).
+
+    Equivalence to the sequential spec (advance / duplicate / out_of_order
+    processed in (ts, turn_idx) order):
+    * every FIRST in-batch occurrence of an idx is added to the sketch when
+      processed (whether as an advance or an out-of-order arrival), so a
+      later in-batch repeat is always a duplicate,
+    * an idx strictly above the running high-watermark (state hwm merged
+      with the in-batch prefix max) cannot be in the sketch — everything
+      added so far is <= that watermark — so 'advance' needs no sketch probe,
+    * a first occurrence at/below the watermark is a duplicate iff the
+      PERSISTENT sketch knows it (cross-batch re-delivery), else out-of-order
+      (and only then added, matching the sequential add-on-ooo rule).
+    """
     (conv_id,) = key
     if state.exists:
         hwm, sketch_list = state.get
@@ -70,22 +81,42 @@ def validate_conv(key, pdf_iter, state: GroupState):
     else:
         hwm, sketch = -1, np.zeros(SKETCH_D * SKETCH_W, dtype=np.int64)
 
-    flags: list[tuple[str, int, str]] = []
-    for pdf in pdf_iter:
+    # a large per-conv micro-batch spans multiple Arrow chunks: concat and
+    # sort ONCE so the (ts, turn_idx) processing order is global, not
+    # chunk-local (chunk-local sorts can flip duplicate vs out_of_order)
+    chunks = [p for p in pdf_iter if len(p)]
+    flags: pd.DataFrame | None = None
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "turn_idx"])
-        for idx in pdf["turn_idx"].astype(int):
-            if idx > hwm:
-                hwm = idx
-                _sketch_add(sketch, idx)
-            elif _sketch_contains(sketch, idx):
-                flags.append((conv_id, idx, "duplicate"))
-            else:
-                flags.append((conv_id, idx, "out_of_order"))
-                _sketch_add(sketch, idx)
+        idx = pdf["turn_idx"].to_numpy(dtype=np.int64)
+
+        running = np.maximum.accumulate(np.concatenate(([hwm], idx)))[:-1]
+        advance = idx > running
+        first_occ = ~pd.Series(idx).duplicated(keep="first").to_numpy()
+        in_sketch = sketch[_slots(idx)].min(axis=1) > 0
+        low = ~advance
+        dup = low & (~first_occ | in_sketch)
+        ooo = low & first_occ & ~in_sketch
+
+        add = first_occ & ~in_sketch  # advances + first-seen ooo arrivals
+        if add.any():
+            np.add.at(sketch, _slots(idx[add]).ravel(), 1)
+        hwm = int(max(hwm, idx.max()))
+
+        flagged = dup | ooo
+        if flagged.any():
+            flags = pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": idx[flagged].astype(np.int32),
+                    "kind": np.where(dup[flagged], "duplicate", "out_of_order"),
+                }
+            )
 
     state.update((int(hwm), [int(x) for x in sketch]))
-    if flags:
-        yield pd.DataFrame(flags, columns=["conv_id", "turn_idx", "kind"])
+    if flags is not None:
+        yield flags
 
 
 def turn_stream_validator(turns: DataFrame) -> DataFrame:
