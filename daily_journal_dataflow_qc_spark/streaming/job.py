@@ -6,10 +6,15 @@ Topology (single continuous job, checkpointed, exactly-once sinks):
       -> per-turn stateless projection (normalize, redact UDF, metrics)
       -> watermark + dropDuplicatesWithinWatermark(conv_id, turn_idx)      [§2.10 dedup]
       -> groupBy(conv_id, session_window(ts, gap)) agg                     [diary assembly]
-         (all per-diary QC sums + collected (ts,wc) pairs; gap stats are
+         (per-diary QC sums + (ts, word_count) pairs ONLY — 16 bytes of
+          state per turn, never text/per-turn payload; gap stats are
           computed JVM-side post-agg from the sorted pairs)
       -> foreachBatch: day assignment + submission rank + acceptance split
          + IdempotentBatchSink commits                                     [exactly-once]
+         + tool-call gating against an INCREMENTAL key store (only new
+           source files are read per batch, never a full rescan)
+         + per-turn stats rebuilt from a conv/ts-pruned re-read of the
+           source slice covering just-closed sessions
 
     transcripts stream -> applyInPandasWithState(conv_id)                  [keyed validator]
          monotone turn_idx high-watermark + count-min dedup sketch;
@@ -36,6 +41,7 @@ from .. import schemas
 from ..functions.datetime_rules import proposed_processed_name, with_day_assignment
 from ..functions.redaction import redact_udf
 from ..functions.text_metrics import normalize_text, with_sentence_metrics
+from .keystore import IncrementalKeyStore
 from .sink import IdempotentBatchSink
 
 STREAM_CONF = {
@@ -92,40 +98,25 @@ def session_qc_aggregate(projected: DataFrame, cfg: PipelineConfig) -> DataFrame
         F.sum("repeats").cast("double").alias("repeats_count"),
         F.sum("restarts").cast("double").alias("restarts_count"),
         F.min("is_ascii").alias("all_ascii"),
-        # full per-turn payload, session-ordered: gap stats are computed
-        # post-agg JVM-side, and the turn-stats sink explodes this array
-        # AFTER the window closes (so per-turn lead gaps are exact)
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    "ts",
-                    "turn_idx",
-                    "role",
-                    "text",
-                    "word_count",
-                    "inaudibles_and_questionables",
-                    "other_bracketed_words",
-                    "redactions",
-                    "nonverbal_edits",
-                    "verbal_edits",
-                    "stutter_repeats",
-                    "word_repeats",
-                    "repeats",
-                    "restarts",
-                )
-            )
-        ).alias("_turns"),
+        # SCALARS + (ts, word_count) pairs ONLY — 16 bytes/turn of state.
+        # Gap stats need adjacent-turn deltas so the pairs are unavoidable,
+        # but the full per-turn payload (especially text) must never live in
+        # aggregation state: a long hot session would grow one giant state
+        # value unboundedly. Per-turn rows for the turn-stats sink are
+        # rebuilt in foreachBatch from a FILTERED re-read of the source
+        # slice covering just-closed sessions (see write_batch).
+        F.sort_array(F.collect_list(F.struct("ts", "word_count"))).alias("_ts_wc"),
     )
     secs = F.transform(
-        F.col("_turns"), lambda p: p.getField("ts").cast("double")
+        F.col("_ts_wc"), lambda p: p.getField("ts").cast("double")
     )
-    n = F.size(F.col("_turns"))
+    n = F.size(F.col("_ts_wc"))
     gaps = F.zip_with(
         F.slice(secs, 1, n - 1), F.slice(secs, 2, n - 1), lambda a, b: b - a
     )
     gap_per_word = F.zip_with(
         gaps,
-        F.transform(F.slice(F.col("_turns"), 1, n - 1), lambda p: p.getField("word_count")),
+        F.transform(F.slice(F.col("_ts_wc"), 1, n - 1), lambda p: p.getField("word_count")),
         lambda g, wc: g / wc,
     )
     return agg.withColumns(
@@ -226,13 +217,17 @@ def start_session_qc_query(
         "restarts_count",
     ]
 
+    key_store = (
+        IncrementalKeyStore(output_root, "_tool_call_keys") if tool_calls_dir else None
+    )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         qc = compile_batch(batch_df, meta, cfg)
         qc = qc.persist()
         try:
-            sinks["audio_qc"].write(qc.drop("_turns"), batch_id)
+            sinks["audio_qc"].write(qc.drop("_ts_wc"), batch_id)
             accepted = qc.filter(F.col("audio_approved_bool") == 1)
-            sinks["accepted"].write(accepted.drop("_turns"), batch_id)
+            sinks["accepted"].write(accepted.drop("_ts_wc"), batch_id)
             sinks["rejected"].write(
                 qc.filter(F.col("audio_approved_bool") != 1).select(
                     "conv_id",
@@ -246,14 +241,26 @@ def start_session_qc_query(
                 batch_id,
             )
             if tool_calls_dir:
-                # returned gating: round trip complete as of this batch
-                tc = spark.read.schema(schemas.TOOL_CALLS).parquet(tool_calls_dir)
-                req = tc.filter(F.col("kind") == "request").select(
-                    "conv_id", F.col("request_key").alias("filename")
+                # returned gating: round trip complete as of this batch.
+                # INCREMENTAL: only tool-call files not yet ingested are
+                # read this batch; the gate joins against the accumulated
+                # compact (conv_id, filename, kind) key store — never a
+                # per-batch full rescan of the source table.
+                key_store.ingest(
+                    spark,
+                    tool_calls_dir,
+                    batch_id,
+                    schemas.TOOL_CALLS,
+                    lambda df: df.select(
+                        "conv_id", F.col("request_key").alias("filename"), "kind"
+                    ),
                 )
-                ret = tc.filter(F.col("kind") == "return").select(
-                    "conv_id", F.col("request_key").alias("filename")
-                )
+                keys = key_store.read(spark)
+                req = keys.filter(F.col("kind") == "request").drop("kind")
+                ret = keys.filter(F.col("kind") == "return").drop("kind")
+                # no broadcast hint: the key store is usually tiny (AQE will
+                # broadcast it), but it grows with total diaries — forcing a
+                # broadcast would eventually OOM the driver at scale
                 returned = accepted.join(
                     req.join(ret, ["conv_id", "filename"], "left_semi"),
                     ["conv_id", "filename"],
@@ -297,51 +304,86 @@ def start_session_qc_query(
                     ),
                     batch_id,
                 )
-                # per-turn stats: explode the session-ordered turn array and
-                # estimate sentence seconds (last turn uses overall_db*60 —
-                # the reproduced reference bug, SURVEY §7.3.2)
-                t = clean.select(
+                # per-turn stats: REBUILT from a filtered re-read of the
+                # source slice covering exactly the clean closed diaries —
+                # per-turn payloads (especially text) never transit streaming
+                # state. The filter pushes conv_id (dictionary/stats pruning)
+                # and a ts range down to the parquet scan, so the per-batch
+                # cost is proportional to the turns of the sessions closing
+                # NOW, not to the table; at production scale the input is a
+                # time-partitioned/bucketed table and this is a pruned point
+                # read. Last turn estimates sentence seconds from
+                # overall_db*60 — the reproduced reference bug, SURVEY §7.3.2.
+                diary_keys = clean.select(
                     "conv_id", "day", "daily_submission_number", "session_start",
-                    "overall_db",
-                    F.posexplode("_turns").alias("_pos", "t"),
-                    F.size("_turns").alias("_n"),
+                    "session_end", "overall_db",
                 )
-                cur = F.col("t.ts").cast("double")
-                sec_from_start = cur - F.col("session_start").cast("double")
-                t = t.withColumn(
-                    "_next_ts",
-                    F.lead("t.ts").over(
-                        Window.partitionBy("conv_id", "day", "daily_submission_number").orderBy("_pos")
-                    ),
-                ).withColumn(
-                    "estimated_sentence_seconds",
-                    F.when(
-                        F.col("_next_ts").isNotNull(),
-                        F.col("_next_ts").cast("double") - cur,
-                    ).otherwise(F.col("overall_db") * 60.0 - sec_from_start),
-                )
-                sinks["turn_stats"].write(
-                    t.select(
+                bounds = diary_keys.agg(
+                    F.min("session_start").alias("lo"),
+                    F.max("session_end").alias("hi"),
+                    F.collect_set("conv_id").alias("convs"),
+                ).head()
+                if bounds and bounds["lo"] is not None:
+                    raw = (
+                        spark.read.schema(schemas.TRANSCRIPTS)
+                        .parquet(input_dir)
+                        .filter(F.col("conv_id").isin(list(bounds["convs"])))
+                        .filter(F.col("ts").between(bounds["lo"], bounds["hi"]))
+                    )
+                    sliced = raw.join(
+                        F.broadcast(diary_keys),
+                        on=[
+                            raw["conv_id"] == diary_keys["conv_id"],
+                            raw["ts"].between(
+                                diary_keys["session_start"], diary_keys["session_end"]
+                            ),
+                        ],
+                        how="inner",
+                    ).drop(diary_keys["conv_id"])
+                    # first-arrival dedup within the slice (duplicates are
+                    # verbatim re-deliveries, so equal to the agg-side
+                    # dropDuplicatesWithinWatermark choice)
+                    w_dedup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
+                    sliced = (
+                        sliced.withColumn("_rn", F.row_number().over(w_dedup))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn")
+                    )
+                    t = turn_projection(sliced)
+                    w_lead = Window.partitionBy(
+                        "conv_id", "day", "daily_submission_number"
+                    ).orderBy("ts", "turn_idx")
+                    cur = F.col("ts").cast("double")
+                    sec_from_start = cur - F.col("session_start").cast("double")
+                    t = t.withColumn("_next_ts", F.lead("ts").over(w_lead)).withColumn(
+                        "estimated_sentence_seconds",
+                        F.when(
+                            F.col("_next_ts").isNotNull(),
+                            F.col("_next_ts").cast("double") - cur,
+                        ).otherwise(F.col("overall_db") * 60.0 - sec_from_start),
+                    )
+                    turn_rows = t.select(
                         "conv_id",
-                        F.col("t.turn_idx").alias("turn_idx"),
+                        "turn_idx",
                         "day",
                         "daily_submission_number",
-                        F.col("t.role").alias("role"),
-                        F.col("t.text").alias("text"),
-                        F.col("t.word_count").alias("word_count"),
-                        F.col("t.inaudibles_and_questionables").alias("inaudibles_and_questionables"),
-                        F.col("t.other_bracketed_words").alias("other_bracketed_words"),
-                        F.col("t.redactions").alias("redactions"),
+                        "role",
+                        "text",
+                        "word_count",
+                        "inaudibles_and_questionables",
+                        "other_bracketed_words",
+                        "redactions",
                         "estimated_sentence_seconds",
-                        F.col("t.nonverbal_edits").alias("nonverbal_edits"),
-                        F.col("t.verbal_edits").alias("verbal_edits"),
-                        F.col("t.stutter_repeats").alias("stutter_repeats"),
-                        F.col("t.word_repeats").alias("word_repeats"),
-                        F.col("t.repeats").alias("repeats"),
-                        F.col("t.restarts").alias("restarts"),
-                    ),
-                    batch_id,
-                )
+                        "nonverbal_edits",
+                        "verbal_edits",
+                        "stutter_repeats",
+                        "word_repeats",
+                        "repeats",
+                        "restarts",
+                    )
+                else:
+                    turn_rows = spark.createDataFrame([], schemas.TURN_STATS)
+                sinks["turn_stats"].write(turn_rows, batch_id)
         finally:
             qc.unpersist()
 

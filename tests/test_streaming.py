@@ -212,6 +212,32 @@ def test_streaming_transcript_side_matches_batch(spark, stream_input, synth_dir,
     compare_frames(got_d, want_d, ["conv_id", "day", "daily_submission_number"])
 
 
+def test_session_agg_state_carries_no_turn_payload(spark, stream_input, cfg):
+    """Structural guard for the O(1)-ish state north star: the session
+    aggregate may keep scalar sums and (ts, word_count) pairs, but no text
+    or other per-turn payload may transit streaming aggregation state."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    from daily_journal_dataflow_qc_spark import schemas
+    from daily_journal_dataflow_qc_spark.streaming.job import (
+        session_qc_aggregate,
+        turn_projection,
+    )
+
+    turns = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(
+        f"{stream_input}/transcripts"
+    )
+    agg = session_qc_aggregate(turn_projection(turns), cfg)
+    for field in agg.schema.fields:
+        if isinstance(field.dataType, ArrayType) and isinstance(
+            field.dataType.elementType, StructType
+        ):
+            names = {f.name for f in field.dataType.elementType.fields}
+            assert names <= {"ts", "word_count"}, (
+                f"collected array {field.name!r} carries per-turn payload: {names}"
+            )
+
+
 def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg):
     """Stream-stream left-outer join: requests unmatched within the deadline
     == the batch engine's pending-flag keys for requests old enough that the
