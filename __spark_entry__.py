@@ -520,18 +520,6 @@ def q_lang_id(spark, sf):
     return d.select("doc_id", lang_id(F.lower(F.col("text"))).alias("lang_pred"))
 
 
-def q_media_features(spark, sf):
-    # training-data op: multimodal binary->feature plumbing (fake decoder;
-    # NOT SQL-expressible -> rows-only check)
-    from daily_journal_dataflow_qc_spark.operators.multimodal import (
-        extract_features,
-        synthesize_media,
-    )
-
-    media = synthesize_media(spark, n=64, seed=42)
-    return extract_features(media, decoder="fake")
-
-
 def q_lsh_bucketed_ann(spark, sf):
     # training-data op: LSH-bucketed approximate NN (scale path; approximate
     # by construction -> rows-only check)
@@ -539,6 +527,162 @@ def q_lsh_bucketed_ann(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return lsh_bucketed_knn(e, n_planes=6, seed=42)
+
+
+def q_redaction(spark, sf):
+    # F11: the REAL redaction pandas-UDF over a constructed brace-bearing
+    # text (well-formed groups by construction, so the DuckDB mirror is a
+    # plain substring replacement)
+    from daily_journal_dataflow_qc_spark.functions.redaction import redact_udf
+
+    d = _t(spark, sf, "documents")
+    braced = F.replace(F.lower(F.col("text")), F.lit("table"), F.lit("{john smith}"))
+    red = redact_udf(braced)
+    return d.select(
+        "doc_id",
+        red.getField("redacted").alias("redacted"),
+        red.getField("violated").cast("int").alias("violated"),
+    )
+
+
+def q_datetime_rules(spark, sf):
+    # T1/T2/T4/T7: per-row IANA timezone conversion + study day + 4am shift
+    # + DPDash weekday + consent month over events (fixed-offset zones so
+    # the oracle is pure interval arithmetic, independent of DuckDB's tz db)
+    from daily_journal_dataflow_qc_spark.functions.datetime_rules import (
+        with_day_assignment,
+    )
+
+    ev = _t(spark, sf, "events")
+    consent = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("consent_date"))
+    tz = F.element_at(
+        F.array(
+            F.lit("UTC"),
+            F.lit("Asia/Seoul"),
+            F.lit("Asia/Kolkata"),
+            F.lit("America/Phoenix"),
+        ),
+        (F.pmod(F.col("user_id"), F.lit(4)) + 1).cast("int"),
+    )
+    df = ev.join(consent, "user_id").withColumn("timezone", tz)
+    out = with_day_assignment(df, ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("local_time", "yyyy-MM-dd HH:mm:ss").alias("local_time_str"),
+        "timeofday",
+        F.col("day").cast("long").alias("day"),
+        F.col("submit_hour_int").cast("long").alias("submit_hour_int"),
+        F.col("submit_minute_int").cast("long").alias("submit_minute_int"),
+        F.col("weekday").cast("long").alias("weekday"),
+        "subject_consent_month",
+    )
+
+
+def q_canonical_names(spark, sf):
+    # F2 zero-padded name construction + S10 language-marker exchange rename
+    # (both directions) + F1 day/submission extraction + F12 basename
+    from daily_journal_dataflow_qc_spark.functions.datetime_rules import (
+        proposed_processed_name,
+    )
+    from daily_journal_dataflow_qc_spark.functions.naming import (
+        basename,
+        filename_day,
+        filename_submission,
+        strip_language_marker,
+        with_language_marker,
+    )
+
+    ev = _t(spark, sf, "events")
+    day = (F.pmod(F.col("event_id"), F.lit(300)) + 1).cast("int")
+    sub = (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int")
+    lang = F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "ENGLISH").otherwise("KOREAN")
+    name = proposed_processed_name(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")), day, sub
+    )
+    df = ev.select("event_id", name.alias("local_name"), lang.alias("lang"))
+    marked = with_language_marker(F.col("local_name"), F.col("lang"))
+    return df.select(
+        "event_id",
+        "local_name",
+        marked.alias("tool_name"),
+        strip_language_marker(marked, F.col("lang")).alias("restored"),
+        filename_day(marked).cast("long").alias("day_extracted"),
+        filename_submission(marked).cast("long").alias("sub_extracted"),
+        basename(F.concat(F.lit("/data/raw/"), marked)).alias("base"),
+    )
+
+
+def q_parse_transcript(spark, sf):
+    # S4 transcript-line parse + T5 timestamp->minutes (both branches) + F14
+    # tab normalization, over lines constructed deterministically from docs
+    from daily_journal_dataflow_qc_spark.sources.transcript_text import (
+        parse_transcript_lines,
+    )
+
+    d = _t(spark, sf, "documents")
+    mm = F.pmod(F.col("doc_id"), F.lit(60))
+    ss = F.pmod(F.col("doc_id") * 7, F.lit(60))
+    ms = F.pmod(F.col("doc_id") * 13, F.lit(1000))
+    hh = F.pmod(F.col("doc_id"), F.lit(3))
+    stamp = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.format_string("%d:%02d:%02d.%03d", hh, mm, ss, ms),
+    ).otherwise(F.format_string("%02d:%02d.%03d", mm, ss, ms))
+    line = F.concat(F.lit("S1\t"), stamp, F.lit(" "), F.col("text"))
+    out = parse_transcript_lines(d.select("doc_id", line.alias("value")), "value")
+    return out.select("doc_id", "speakerID", "timefromstart", "minutes", "text")
+
+
+def q_media_features(spark, sf):
+    # training-data op: multimodal binary->feature plumbing over media
+    # derived from the documents table (text bytes as the opaque payload) —
+    # the digest/byte-count/frame-count columns are oracle-checkable; the
+    # fake-decoder feature moments stay pytest-verified
+    from daily_journal_dataflow_qc_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    d = _t(spark, sf, "documents")
+    feats = extract_features(media_from_documents(d), decoder="fake")
+    return feats.select("media_id", "kind", "n_bytes", "digest", "n_frames")
+
+
+def q_activity_summary(spark, sf):
+    # A5 EMA/any-activity day counts per subject (clip(upper=1)-then-sum;
+    # click ~ EMA record, purchase ~ journal record, any event ~ any app use)
+    ev = _t(spark, sf, "events")
+    one = F.lit(1)
+    per_day = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.least(F.count("*"), one).alias("any1"),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)), F.lit(1)
+        ).alias("ema1"),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)), F.lit(1)
+        ).alias("journal1"),
+    )
+    return per_day.groupBy("user_id").agg(
+        F.sum("any1").cast("long").alias("num_days_any_activity_submit"),
+        F.sum("ema1").cast("long").alias("num_days_ema_submit"),
+        F.sum("journal1").cast("long").alias("num_days_journal_submit"),
+    )
+
+
+def q_activity_group_counts(spark, sf):
+    # A5 site-level 'any' rollup: subjects found / any-EMA / any-journal
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("any_ema"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("any_journal"),
+    )
+    site = F.pmod(F.col("user_id"), F.lit(7)).cast("long")
+    return per_user.groupBy(site.alias("site")).agg(
+        F.count("*").alias("num_subjects_found"),
+        F.sum("any_ema").cast("long").alias("num_subjects_any_ema"),
+        F.sum("any_journal").cast("long").alias("num_subjects_any_journal"),
+    )
 
 
 def q_flagship_events(spark, sf):
@@ -640,6 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "media_features": q_media_features,
         "lsh_bucketed_ann": q_lsh_bucketed_ann,
+        "redaction": q_redaction,
+        "datetime_rules": q_datetime_rules,
+        "canonical_names": q_canonical_names,
+        "parse_transcript": q_parse_transcript,
+        "activity_summary": q_activity_summary,
+        "activity_group_counts": q_activity_group_counts,
         "flagship_events": q_flagship_events,
         "cube_rollup": q_cube_rollup,
     }
@@ -725,8 +875,114 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred
             FROM sc
         """,
-        # media_features / lsh_bucketed_ann: not SQL-expressible (pandas UDF
-        # plumbing / approximate bucketing) -> rows-only driver check
+        # lsh_bucketed_ann: approximate by construction (random hyperplanes)
+        # -> rows-only driver check; recall-vs-exact is asserted in pytest
+        "redaction": """
+            SELECT doc_id,
+                   replace(lower(text), 'table', '{REDACTED REDACTED}') AS redacted,
+                   CAST(0 AS INT) AS violated
+            FROM documents
+        """,
+        "datetime_rules": """
+            WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS consent FROM events GROUP BY user_id),
+            b AS (
+                SELECT e.event_id, e.user_id, c.consent,
+                       CASE e.user_id % 4
+                            WHEN 0 THEN e.ts
+                            WHEN 1 THEN e.ts + INTERVAL 9 HOUR
+                            WHEN 2 THEN e.ts + INTERVAL 330 MINUTE
+                            ELSE e.ts - INTERVAL 7 HOUR END AS lts
+                FROM events e JOIN c ON e.user_id = c.user_id
+            ), f AS (
+                SELECT *, hour(lts) AS h,
+                       date_diff('day', consent, CAST(lts AS DATE)) + 1 AS literal_day,
+                       ((isodow(lts) + 1) % 7) + 1 AS wd
+                FROM b
+            )
+            SELECT event_id, user_id,
+                   strftime(lts, '%Y-%m-%d %H:%M:%S') AS local_time_str,
+                   strftime(lts, '%H:%M:%S') AS timeofday,
+                   CAST(CASE WHEN h < 4 THEN literal_day - 1 ELSE literal_day END AS BIGINT) AS day,
+                   CAST(CASE WHEN h < 4 THEN h + 24 ELSE h END AS BIGINT) AS submit_hour_int,
+                   CAST(minute(lts) AS BIGINT) AS submit_minute_int,
+                   CAST(CASE WHEN h < 4 THEN (CASE WHEN wd > 1 THEN wd - 1 ELSE 7 END)
+                             ELSE wd END AS BIGINT) AS weekday,
+                   strftime(consent, '%m/%Y') AS subject_consent_month
+            FROM f
+        """,
+        "canonical_names": """
+            WITH b AS (
+                SELECT event_id,
+                       printf('u%d_audioJournal_day%04d_submission%d.wav',
+                              user_id, (event_id % 300) + 1, (event_id % 3) + 1) AS local_name,
+                       CASE WHEN user_id % 2 = 0 THEN 'ENGLISH' ELSE 'KOREAN' END AS lang
+                FROM events
+            ), m AS (
+                SELECT *,
+                       string_split(local_name, 'submission')[1] || lang || '_submission'
+                           || string_split(local_name, 'submission')[2] AS tool_name
+                FROM b
+            )
+            SELECT event_id, local_name, tool_name,
+                   replace(tool_name, lang || '_submission', 'submission') AS restored,
+                   CAST(string_split(string_split(tool_name, '_day')[-1], '_')[1] AS BIGINT) AS day_extracted,
+                   CAST(string_split(string_split(tool_name, '_submission')[-1], '.wav')[1] AS BIGINT) AS sub_extracted,
+                   string_split('/data/raw/' || tool_name, '/')[-1] AS base
+            FROM m
+        """,
+        "parse_transcript": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN printf('%d:%02d:%02d.%03d', doc_id % 3, doc_id % 60,
+                                        (doc_id * 7) % 60, (doc_id * 13) % 1000)
+                            ELSE printf('%02d:%02d.%03d', doc_id % 60,
+                                        (doc_id * 7) % 60, (doc_id * 13) % 1000)
+                       END AS stamp
+                FROM documents
+            ), p AS (SELECT *, string_split(stamp, ':') AS parts FROM s)
+            SELECT doc_id, 'S1' AS speakerID, stamp AS timefromstart,
+                   round(CASE WHEN len(parts) = 3
+                              THEN CAST(parts[1] AS DOUBLE) * 60.0 + CAST(parts[2] AS DOUBLE)
+                                   + CAST(parts[3] AS DOUBLE) / 60.0
+                              ELSE CAST(parts[1] AS DOUBLE) + CAST(parts[2] AS DOUBLE) / 60.0
+                         END, 6) AS minutes,
+                   text
+            FROM p
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS digest,
+                   CAST(8 AS INT) AS n_frames
+            FROM documents
+        """,
+        "activity_summary": """
+            SELECT user_id,
+                   CAST(sum(any1) AS BIGINT) AS num_days_any_activity_submit,
+                   CAST(sum(ema1) AS BIGINT) AS num_days_ema_submit,
+                   CAST(sum(journal1) AS BIGINT) AS num_days_journal_submit
+            FROM (
+                SELECT user_id, CAST(ts AS DATE) AS d,
+                       least(count(*), 1) AS any1,
+                       least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 1) AS ema1,
+                       least(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 1) AS journal1
+                FROM events GROUP BY 1, 2
+            ) GROUP BY user_id
+        """,
+        "activity_group_counts": """
+            SELECT CAST(user_id % 7 AS BIGINT) AS site,
+                   count(*) AS num_subjects_found,
+                   CAST(sum(any_ema) AS BIGINT) AS num_subjects_any_ema,
+                   CAST(sum(any_journal) AS BIGINT) AS num_subjects_any_journal
+            FROM (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS any_ema,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS any_journal
+                FROM events GROUP BY user_id
+            ) GROUP BY 1
+        """,
         "flagship_events": """
             WITH turns AS (
                 SELECT * FROM (

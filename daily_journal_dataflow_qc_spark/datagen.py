@@ -115,6 +115,9 @@ def generate(
         durations_obj[i] = None
     flatness = np.round(rng.uniform(0.01, 0.5, size=n_convs), 4)
     missing_consent = rng.random(n_convs) < 0.03  # skip-path fixture
+    languages = rng.choice(
+        ["ENGLISH", "ENGLISH", "ENGLISH", "SPANISH", "KOREAN"], size=n_convs
+    )
 
     conv_meta = pd.DataFrame(
         {
@@ -124,7 +127,7 @@ def generate(
                 for i in range(n_convs)
             ],
             "timezone": tzs,
-            "language": rng.choice(["ENGLISH", "ENGLISH", "ENGLISH", "SPANISH", "KOREAN"], size=n_convs),
+            "language": languages,
             "db_level": db_levels_obj,
             "duration_sec": durations_obj,
             "flatness": flatness,
@@ -206,7 +209,11 @@ def generate(
                 # tool-call request for this submission (graft of SFTP push;
                 # key format per mindlamp_accounting.py:147)
                 if emit_request:
-                    key = f"{conv}_audioJournal_day{int(d):04d}_submission{sub_i + 1}.wav"
+                    local_key = f"{conv}_audioJournal_day{int(d):04d}_submission{sub_i + 1}.wav"
+                    # tool-side key carries the language marker (S10 push
+                    # rename, journal_transcribeme_sftp_push.py:177)
+                    _p = local_key.split("submission")
+                    key = _p[0] + str(languages[ci]) + "_submission" + _p[1]
                     req_ts = utc_start + dt.timedelta(hours=1)
                     tc_conv.append(conv)
                     tc_key.append(key)
@@ -231,7 +238,7 @@ def generate(
 
         # anomaly: an orphan return with no request (~5% of convs)
         if crng.random() < 0.05 and len(days) > 0:
-            key = f"{conv}_audioJournal_day{9999:04d}_submission1.wav"
+            key = f"{conv}_audioJournal_day{9999:04d}_{languages[ci]}_submission1.wav"
             tc_conv.append(conv)
             tc_key.append(key)
             tc_kind.append("return")
@@ -314,11 +321,16 @@ def generate_scaled(
     )
 
 
+# bump when generation logic changes: busts the idempotency markers so stale
+# cached fixtures regenerate
+DATAGEN_VERSION = 2
+
+
 def write_parquet_scaled(
     out_dir: str, base_convs: int = 120, replicas: int = 10, seed: int = 42
 ) -> dict[str, str]:
     """Generate-and-persist the scaled bench tables (idempotent)."""
-    marker = os.path.join(out_dir, f"_GENERATED_b{base_convs}_r{replicas}_s{seed}")
+    marker = os.path.join(out_dir, f"_GENERATED_v{DATAGEN_VERSION}_b{base_convs}_r{replicas}_s{seed}")
     paths = {
         t: os.path.join(out_dir, f"{t}.parquet")
         for t in ("transcripts", "tool_calls", "conv_meta")
@@ -350,7 +362,7 @@ def write_parquet(
     Idempotent: skips generation if the directory is already populated with
     the same parameters (marker file).
     """
-    marker = os.path.join(out_dir, f"_GENERATED_n{n_convs}_s{seed}")
+    marker = os.path.join(out_dir, f"_GENERATED_v{DATAGEN_VERSION}_n{n_convs}_s{seed}")
     paths = {
         t: os.path.join(out_dir, f"{t}.parquet")
         for t in ("transcripts", "tool_calls", "conv_meta")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
+from ..functions.naming import with_language_marker
 
 # reference message strings (journal_outputs_error_check.py:76-182;
 # phone_transcript_redaction.py:70)
@@ -150,8 +151,14 @@ def issues_set(
     """The major-issues log (flagged row set), deduped keeping the earliest
     detection date (journal_outputs_error_check.py:199-214, O4)."""
     today = F.lit(cfg.compute_date_str)
+    # tool-side reconciliation happens under the language-marked exchange
+    # name (S10): requests/returns carry it from the SFTP side, so the
+    # engine's accepted keys are marked before matching. Redaction-violation
+    # rows keep the LOCAL name — pulled transcripts are stored unmarked
+    # (journal_transcribeme_sftp_pull.py:53).
     accepted_keys = audio_qc_df.filter(F.col("audio_approved_bool") == 1).select(
-        "conv_id", F.col("filename").alias("request_key")
+        "conv_id",
+        with_language_marker(F.col("filename"), F.col("language")).alias("request_key"),
     )
     req = requests.select("conv_id", "request_key", "ts")
     ret = returns.select("conv_id", "request_key")
@@ -190,7 +197,12 @@ def issues_set(
         audio_qc_df.filter(
             (F.col("audio_approved_bool") == 1) & F.col("has_tool_tag")
         )
-        .select("conv_id", F.col("filename").alias("request_key"))
+        .select(
+            "conv_id",
+            with_language_marker(F.col("filename"), F.col("language")).alias(
+                "request_key"
+            ),
+        )
         .join(req, ["conv_id", "request_key"], "left_anti"),
         "pre-wav",
         MSG_MISSING_REQUEST,

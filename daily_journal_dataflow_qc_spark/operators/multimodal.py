@@ -8,6 +8,10 @@ decode is STUBBED — the container has no image/audio codecs — behind
 ``decoder="real"`` (raises NotImplementedError at the decode call site,
 marking exactly where a codec library would plug in).
 
+Feature math is vectorized across the Arrow batch (one np.stack + axis-wise
+mean/std for the whole batch); only the per-blob hash/decode — inherently
+per-item — runs in a Python loop over the column.
+
 Upstream reference analogue: the audio-QC feature extraction
 (audio_diary_qc.py:122-168, soundfile+librosa) — same shape: binary blob in,
 small typed feature row out, vectorized per Arrow batch.
@@ -20,6 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -44,16 +49,18 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, sha1 string, "
+    "media_id long, kind string, n_bytes long, digest string, "
     "feat_mean double, feat_std double, n_frames int"
 )
+
+SIGNAL_LEN = 256
 
 
 def _fake_decode(content: bytes) -> np.ndarray:
     """Deterministic stand-in for a codec: bytes -> pseudo-signal."""
-    seed = int(hashlib.sha1(content).hexdigest()[:8], 16)
+    seed = int(hashlib.sha256(content).hexdigest()[:8], 16)
     rng = np.random.default_rng(seed)
-    return rng.standard_normal(256)
+    return rng.standard_normal(SIGNAL_LEN)
 
 
 def extract_features(
@@ -63,42 +70,65 @@ def extract_features(
 
     ``decoder='real'`` marks the integration point for an actual codec
     (PIL/soundfile/pyav) — deliberately NotImplemented in this container.
+    ``digest`` is sha256 of the raw bytes (exactly DuckDB's
+    ``sha256(<text>)`` when content is UTF-8-encoded text, which makes the
+    plumbing oracle-checkable end to end).
     """
+    if decoder == "real":
+        # fail fast at plan time, not per row inside the executor loop
+        def run_real(batches):
+            raise NotImplementedError(
+                "media codecs unavailable in this container; plug a decoder "
+                "in here (PIL / soundfile / pyav)"
+            )
+            yield  # pragma: no cover — marks this as a generator
+
+        return media.mapInPandas(run_real, FEATURE_SCHEMA)
+
+    n_frames = len(range(0, SIGNAL_LEN, frame_sample_every))
 
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = []
-            for r in pdf.itertuples():
-                content = bytes(r.content) if r.content is not None else b""
-                if decoder == "real":
-                    raise NotImplementedError(
-                        "media codecs unavailable in this container; plug a "
-                        "decoder in here (PIL / soundfile / pyav)"
-                    )
-                sig = _fake_decode(content)
-                frames = sig[::frame_sample_every]
-                rows.append(
-                    (
-                        r.media_id,
-                        r.kind,
-                        len(content),
-                        hashlib.sha1(content).hexdigest(),
-                        float(np.round(sig.mean(), 6)),
-                        float(np.round(sig.std(), 6)),
-                        int(len(frames)),
-                    )
-                )
+            blobs = [bytes(c) if c is not None else b"" for c in pdf["content"]]
+            # per-blob work (hash-seeded decode) is inherently per-item; the
+            # FEATURE math is vectorized across the whole batch below
+            signals = np.stack([_fake_decode(b) for b in blobs])
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "kind", "n_bytes", "sha1",
-                    "feat_mean", "feat_std", "n_frames",
-                ],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": np.fromiter((len(b) for b in blobs), dtype=np.int64),
+                    "digest": [hashlib.sha256(b).hexdigest() for b in blobs],
+                    "feat_mean": np.round(signals.mean(axis=1), 6),
+                    "feat_std": np.round(signals.std(axis=1), 6),
+                    "n_frames": np.full(len(blobs), n_frames, dtype=np.int32),
+                }
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents table (text
+    bytes as the opaque payload) — the oracle-checkable ingest path."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(640).cast("int").alias("width"),
+            F.lit(480).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.length("text") * 100).cast("long").alias("duration_ms"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

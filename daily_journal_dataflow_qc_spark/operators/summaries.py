@@ -15,6 +15,61 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 
 
+def activity_engagement_summary(
+    accounting: DataFrame,
+    conv_col: str = "conv_id",
+    group_expr: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """EMA / any-activity engagement (A5 full set): the reference's
+    clip(upper=1)-then-sum chain over the per-file activity-JSON accounting
+    rows (generate_server_wide_diary_summary_csvs.py:59-71).
+
+    Input: one accounting row per (conv, json file ~ day) with
+    ``ema_records_count`` / ``diary_records_count`` (sources.activity_json.
+    accounting_rows output). Returns (per_conv, per_site):
+
+    * per conv — num_days_any_activity_submit / num_days_ema_submit /
+      num_days_journal_submit (day booleans summed),
+    * per site — num_subjects_found plus num_subjects_any_active_app /
+      num_subjects_any_ema / num_subjects_any_journal (subject booleans
+      summed; the reference's folder-count num_subjects_found generalizes to
+      the distinct convs seen in the accounting scan).
+    """
+    one = F.lit(1)
+    per_file = accounting.select(
+        F.col(conv_col).alias("conv_id"),
+        F.least(F.col("ema_records_count"), one).alias("ema_day_bool"),
+        F.least(F.col("diary_records_count"), one).alias("diary_day_bool"),
+    ).withColumn(
+        "active_day_bool",
+        F.least(F.col("ema_day_bool") + F.col("diary_day_bool"), one),
+    )
+    per_conv = per_file.groupBy("conv_id").agg(
+        F.sum("active_day_bool").cast("long").alias("num_days_any_activity_submit"),
+        F.sum("ema_day_bool").cast("long").alias("num_days_ema_submit"),
+        F.sum("diary_day_bool").cast("long").alias("num_days_journal_submit"),
+    )
+    site = group_expr if group_expr is not None else F.substring("conv_id", 1, 8)
+    per_site = (
+        per_conv.withColumn("_site", site)
+        .groupBy("_site")
+        .agg(
+            F.count("*").cast("long").alias("num_subjects_found"),
+            F.sum(F.least(F.col("num_days_any_activity_submit"), one))
+            .cast("long")
+            .alias("num_subjects_any_active_app"),
+            F.sum(F.least(F.col("num_days_ema_submit"), one))
+            .cast("long")
+            .alias("num_subjects_any_ema"),
+            F.sum(F.least(F.col("num_days_journal_submit"), one))
+            .cast("long")
+            .alias("num_subjects_any_journal"),
+        )
+        .withColumnRenamed("_site", "site")
+    )
+    return per_conv, per_site
+
+
 def conv_level_summary(accepted: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Per-conv engagement (serverWide_subjectsLevel semantics,
     generate_server_wide_diary_summary_csvs.py:63-132)."""

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
+from ..functions.naming import with_language_marker
 from ..functions.redaction import redact_udf
 from ..functions.text_metrics import normalize_text, with_sentence_metrics
 
@@ -45,14 +46,21 @@ def returned_accepted_diaries(
 ) -> DataFrame:
     """Accepted diaries whose transcript round-trip completed (J8 inner path).
 
-    Join key: the canonical diary filename equals the tool-call request_key
-    (reference upload naming, mindlamp_accounting.py:147 + SFTP push/pull).
+    Join key: the TOOL-SIDE name — the canonical diary filename with the
+    conversation's language marker inserted before "submission" (S10 push
+    rename, journal_transcribeme_sftp_push.py:177; the pull looks the
+    finished transcript up under the same marked name,
+    journal_transcribeme_sftp_pull.py:52-53).
     """
-    accepted = audio_qc_df.filter(F.col("audio_approved_bool") == 1)
-    req_keys = requests.select("conv_id", F.col("request_key").alias("filename"))
-    ret_keys = returns.select("conv_id", F.col("request_key").alias("filename"))
-    round_trip = req_keys.join(ret_keys, ["conv_id", "filename"], "inner")
-    return accepted.join(round_trip, ["conv_id", "filename"], "left_semi")
+    accepted = audio_qc_df.filter(F.col("audio_approved_bool") == 1).withColumn(
+        "_tool_key", with_language_marker(F.col("filename"), F.col("language"))
+    )
+    req_keys = requests.select("conv_id", F.col("request_key").alias("_tool_key"))
+    ret_keys = returns.select("conv_id", F.col("request_key").alias("_tool_key"))
+    round_trip = req_keys.join(ret_keys, ["conv_id", "_tool_key"], "inner")
+    return accepted.join(round_trip, ["conv_id", "_tool_key"], "left_semi").drop(
+        "_tool_key"
+    )
 
 
 def redacted_turns(sessioned_turns: DataFrame, diaries: DataFrame) -> DataFrame:

@@ -72,6 +72,13 @@ def _normalize(text: str) -> str:
     return text.replace("\t", " ").replace("\r", " ").rstrip()
 
 
+def _tool_key(filename: str, language: str) -> str:
+    """S10 push rename: the tool-side exchange name
+    (journal_transcribeme_sftp_push.py:177 formula, verbatim)."""
+    parts = filename.split("submission")
+    return parts[0] + language + "_submission" + parts[1]
+
+
 # ------------------------------------------------------------- identity
 
 def _local(ts: pd.Timestamp, tz: str) -> dt.datetime:
@@ -193,8 +200,12 @@ def compute(
     accepted_d = dqc[dqc["audio_approved_bool"] == 1]
     returned = accepted_d[
         [
-            (c, f) in req_keys and (c, f) in ret_keys
-            for c, f in zip(accepted_d["conv_id"], accepted_d["filename"])
+            (c, _tool_key(f, lg)) in req_keys and (c, _tool_key(f, lg)) in ret_keys
+            for c, f, lg in zip(
+                accepted_d["conv_id"],
+                accepted_d["filename"],
+                accepted_d["expected_language"],
+            )
         ]
     ]
 
@@ -446,13 +457,17 @@ def compute(
             }
         )
 
-    acc_keys = set(zip(acc["conv_id"], acc["filename"]))
-    tagged_keys = set(
-        zip(
-            acc[acc["has_tool_tag"]]["conv_id"],
-            acc[acc["has_tool_tag"]]["filename"],
+    acc_keys = {
+        (c, _tool_key(f, lg))
+        for c, f, lg in zip(acc["conv_id"], acc["filename"], acc["expected_language"])
+    }
+    tagged = acc[acc["has_tool_tag"]]
+    tagged_keys = {
+        (c, _tool_key(f, lg))
+        for c, f, lg in zip(
+            tagged["conv_id"], tagged["filename"], tagged["expected_language"]
         )
-    )
+    }
     for r in req.itertuples():
         k = (r.conv_id, r.request_key)
         if k not in ret_keys and (today - pd.Timestamp(r.ts).date()).days >= cfg.pending_deadline_days:

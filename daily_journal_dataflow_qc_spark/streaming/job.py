@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from .. import schemas
 from ..functions.datetime_rules import proposed_processed_name, with_day_assignment
+from ..functions.naming import with_language_marker
 from ..functions.redaction import redact_udf
 from ..functions.text_metrics import normalize_text, with_sentence_metrics
 from .keystore import IncrementalKeyStore
@@ -252,20 +253,26 @@ def start_session_qc_query(
                     batch_id,
                     schemas.TOOL_CALLS,
                     lambda df: df.select(
-                        "conv_id", F.col("request_key").alias("filename"), "kind"
+                        "conv_id", F.col("request_key").alias("_tool_key"), "kind"
                     ),
                 )
                 keys = key_store.read(spark)
                 req = keys.filter(F.col("kind") == "request").drop("kind")
                 ret = keys.filter(F.col("kind") == "return").drop("kind")
-                # no broadcast hint: the key store is usually tiny (AQE will
-                # broadcast it), but it grows with total diaries — forcing a
-                # broadcast would eventually OOM the driver at scale
-                returned = accepted.join(
-                    req.join(ret, ["conv_id", "filename"], "left_semi"),
-                    ["conv_id", "filename"],
-                    "left_semi",
+                # the tool side names files with the language marker (S10);
+                # match on the marked name. No broadcast hint: the key store
+                # is usually tiny (AQE will broadcast it), but it grows with
+                # total diaries — forcing a broadcast would eventually OOM
+                # the driver at scale.
+                marked = accepted.withColumn(
+                    "_tool_key",
+                    with_language_marker(F.col("filename"), F.col("language")),
                 )
+                returned = marked.join(
+                    req.join(ret, ["conv_id", "_tool_key"], "left_semi"),
+                    ["conv_id", "_tool_key"],
+                    "left_semi",
+                ).drop("_tool_key")
                 sinks["violations"].write(
                     returned.filter(F.col("any_violated")).select(
                         "conv_id", "day", "daily_submission_number", "filename"

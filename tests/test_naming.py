@@ -1,0 +1,80 @@
+"""S10 language-marker exchange rename + F1 filename field extraction + F12
+basename/dirname, pinned against the reference's split-index formulas."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from daily_journal_dataflow_qc_spark.functions.naming import (
+    basename,
+    dirname,
+    filename_day,
+    filename_submission,
+    strip_language_marker,
+    with_language_marker,
+)
+
+LOCAL = "conv7_audioJournal_day0042_submission2.wav"
+MARKED = "conv7_audioJournal_day0042_ENGLISH_submission2.wav"
+
+
+def _ref_mark(filename: str, language: str) -> str:
+    # journal_transcribeme_sftp_push.py:177, verbatim
+    return (
+        filename.split("submission")[0]
+        + language
+        + "_submission"
+        + filename.split("submission")[1]
+    )
+
+
+def test_language_marker_round_trip(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"name": [LOCAL], "language": ["ENGLISH"]}
+        )
+    )
+    out = df.select(
+        with_language_marker(F.col("name"), F.col("language")).alias("marked")
+    ).head()
+    assert out["marked"] == MARKED == _ref_mark(LOCAL, "ENGLISH")
+
+    back = df.select(
+        strip_language_marker(F.lit(MARKED), F.col("language")).alias("local")
+    ).head()
+    assert back["local"] == LOCAL
+
+    # non-English marker + a name without the marker passes through
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"name": [LOCAL], "language": ["KOREAN"]})
+    )
+    r = df2.select(
+        with_language_marker(F.col("name"), F.col("language")).alias("m"),
+        strip_language_marker(F.col("name"), F.col("language")).alias("s"),
+    ).head()
+    assert r["m"] == _ref_mark(LOCAL, "KOREAN")
+    assert r["s"] == LOCAL  # no marker present -> unchanged
+
+
+def test_filename_field_extraction(spark):
+    # reference formulas (audio_diary_qc.py:93-94):
+    # int(split("_day")[-1].split("_")[0]), int(split("_submission")[-1].split(".wav")[0])
+    names = [LOCAL, "c_audioJournal_day9999_submission1.wav"]
+    df = spark.createDataFrame(pd.DataFrame({"name": names}))
+    got = df.select(
+        filename_day(F.col("name")).alias("day"),
+        filename_submission(F.col("name")).alias("sub"),
+    ).toPandas()
+    want_day = [int(n.split("_day")[-1].split("_")[0]) for n in names]
+    want_sub = [int(n.split("_submission")[-1].split(".wav")[0]) for n in names]
+    assert got["day"].tolist() == want_day == [42, 9999]
+    assert got["sub"].tolist() == want_sub == [2, 1]
+
+
+def test_basename_dirname(spark):
+    paths = ["/a/b/c.wav", "c.wav", "/x/y/"]
+    df = spark.createDataFrame(pd.DataFrame({"p": paths}))
+    got = df.select(
+        basename(F.col("p")).alias("b"), dirname(F.col("p")).alias("d")
+    ).toPandas()
+    assert got["b"].tolist() == [p.split("/")[-1] for p in paths]
+    assert got["d"].tolist() == ["/a/b", "", "/x/y"]

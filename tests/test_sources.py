@@ -72,3 +72,58 @@ def test_transcript_line_parse(spark):
     assert out.text[3] == "quoted line"
     assert out.text[4] == "tabbed line"
     assert pd.isna(out.timefromstart[5])
+
+
+def test_activity_engagement_summary_matches_pandas(spark):
+    """A5 EMA/any-activity chain: clip(upper=1)-then-sum per subject and
+    per site, mirrored against a pandas reimplementation of the reference's
+    formula (generate_server_wide_diary_summary_csvs.py:59-71)."""
+    from daily_journal_dataflow_qc_spark.operators.summaries import (
+        activity_engagement_summary,
+    )
+
+    # conv_id encoded in the filename: site (first 5 chars) + subject
+    payloads = [
+        ("siteA_c1_d1.json", '[{"timestamp": 1677600000000, "static_data": {"url": "S1"}},'
+                             ' {"timestamp": 1677600100000, "static_data": {}}]'),
+        ("siteA_c1_d2.json", '[{"timestamp": 1677700000000, "static_data": {}}]'),
+        ("siteA_c2_d1.json", '[{"timestamp": 1677600000000, "static_data": {"url": "S9"}}]'),
+        ("siteB_c3_d1.json", '[{"timestamp": 1677600300000}]'),  # missing ts only
+    ]
+    df = spark.createDataFrame(payloads, "json_filename string, payload string")
+    acct = accounting_rows(parse_activity_json(df)).withColumn(
+        "conv_id",
+        F.concat_ws("_", F.split("json_filename", "_").getItem(0),
+                    F.split("json_filename", "_").getItem(1)),
+    )
+    per_conv, per_site = activity_engagement_summary(
+        acct, group_expr=F.substring("conv_id", 1, 5)
+    )
+    got_conv = per_conv.toPandas().set_index("conv_id").sort_index()
+    got_site = per_site.toPandas().set_index("site").sort_index()
+
+    # pandas mirror (reference formula verbatim)
+    a = acct.toPandas()
+    a["ema_day_bool"] = a["ema_records_count"].clip(upper=1)
+    a["diary_day_bool"] = a["diary_records_count"].clip(upper=1)
+    a["active_day_bool"] = (a["ema_day_bool"] + a["diary_day_bool"]).clip(upper=1)
+    want_conv = (
+        a.groupby("conv_id")[["active_day_bool", "ema_day_bool", "diary_day_bool"]]
+        .sum()
+        .sort_index()
+    )
+    assert got_conv["num_days_any_activity_submit"].tolist() == want_conv["active_day_bool"].tolist()
+    assert got_conv["num_days_ema_submit"].tolist() == want_conv["ema_day_bool"].tolist()
+    assert got_conv["num_days_journal_submit"].tolist() == want_conv["diary_day_bool"].tolist()
+
+    sites = pd.Series([c[:5] for c in want_conv.index], index=want_conv.index)
+    ws = want_conv.clip(upper=1).groupby(sites).sum()
+    assert got_site["num_subjects_any_active_app"].tolist() == ws["active_day_bool"].tolist()
+    assert got_site["num_subjects_any_ema"].tolist() == ws["ema_day_bool"].tolist()
+    assert got_site["num_subjects_any_journal"].tolist() == ws["diary_day_bool"].tolist()
+    assert got_site["num_subjects_found"].tolist() == [2, 1]
+    # spot values: c1 has 2 active days (1 diary day + 2 ema days clipped)
+    assert got_conv.loc["siteA_c1", "num_days_any_activity_submit"] == 2
+    assert got_conv.loc["siteA_c1", "num_days_ema_submit"] == 2
+    assert got_conv.loc["siteA_c1", "num_days_journal_submit"] == 1
+    assert got_conv.loc["siteB_c3", "num_days_any_activity_submit"] == 0

@@ -238,6 +238,45 @@ def test_session_agg_state_carries_no_turn_payload(spark, stream_input, cfg):
             )
 
 
+def test_streaming_metrics_listener(spark, stream_input, cfg):
+    """§2.10 per-batch lineage/metrics: every micro-batch of a streaming
+    query lands a metrics row (rows in, latency, state size) in the log."""
+    from daily_journal_dataflow_qc_spark.streaming.job import start_validator_query
+    from daily_journal_dataflow_qc_spark.streaming.metrics import (
+        attach_metrics,
+        detach_metrics,
+        read_metrics,
+    )
+
+    log = "/tmp/djdq_metrics/metrics.jsonl"
+    shutil.rmtree("/tmp/djdq_metrics", ignore_errors=True)
+    out_root = "/tmp/djdq_metrics_out"
+    shutil.rmtree(out_root, ignore_errors=True)
+    listener = attach_metrics(spark, log)
+    try:
+        q, _ = start_validator_query(
+            spark, f"{stream_input}/transcripts", out_root, max_files_per_trigger=3
+        )
+        q.awaitTermination(300)
+        # listener delivery is async — wait for the progress events to drain
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if os.path.isfile(log) and len(open(log).readlines()) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        detach_metrics(spark, listener)
+
+    m = read_metrics(spark, log).toPandas()
+    m = m[m.query_id == str(q.id)]
+    assert len(m) >= 2, "expected one metrics row per micro-batch"
+    assert m.num_input_rows.sum() > 0
+    assert (m.trigger_ms > 0).all()
+    # the keyed validator is a stateful operator: state rows must be tracked
+    assert (m.n_state_operators >= 1).any()
+    assert m.state_rows_total.dropna().max() > 0
+
+
 def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg):
     """Stream-stream left-outer join: requests unmatched within the deadline
     == the batch engine's pending-flag keys for requests old enough that the
