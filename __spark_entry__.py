@@ -521,12 +521,13 @@ def q_lang_id(spark, sf):
 
 
 def q_lsh_bucketed_ann(spark, sf):
-    # training-data op: LSH-bucketed approximate NN (scale path; approximate
-    # by construction -> rows-only check)
+    # training-data op: multi-table LSH-bucketed approximate NN (scale
+    # path; approximate by construction -> rows-only driver check, with a
+    # recall>=0.9-vs-exact gate in tests/test_training_ops.py)
     from daily_journal_dataflow_qc_spark.operators.similarity import lsh_bucketed_knn
 
     e = _t(spark, sf, "embeddings")
-    return lsh_bucketed_knn(e, n_planes=6, seed=42)
+    return lsh_bucketed_knn(e, n_planes=3, n_tables=16, seed=42)
 
 
 def q_redaction(spark, sf):

@@ -119,24 +119,32 @@ def brute_force_knn(
 def lsh_bucketed_knn(
     embeddings: DataFrame,
     n_planes: int | None = None,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk_rows: int = 1024,
     n_rows_hint: int | None = None,
 ) -> DataFrame:
-    """Approximate NN: random-hyperplane signature -> per-bucket exact search.
+    """Approximate NN: random-hyperplane signatures -> per-bucket exact
+    search, optionally across ``n_tables`` independent hash tables (the
+    standard multi-table LSH construction: per-table miss probability
+    compounds, so recall = 1 - (1 - p^k)^L even for near-orthogonal data).
 
-    Scale path: the signature is one Arrow pass, the bucket join is an
-    ordinary shuffle on the signature, so it parallelizes to any input size
-    (pairs only form within buckets).
+    Scale path: signatures are one Arrow pass; the bucket join is an
+    ordinary shuffle on (table, signature), so it parallelizes to any input
+    size (pairs only form within buckets, and the shuffled volume is
+    n_tables * N rows of (id, vector)).
 
     * ``n_planes=None`` scales bucket count with N: ``max(4, ceil(log2(N)))``
-      planes => ~N buckets, expected bucket size O(1) as the table grows —
-      a fixed plane count would make buckets (and the per-bucket pair space)
-      grow linearly with N.
+      planes => ~N buckets per table, expected bucket size O(1) as the
+      table grows — a fixed plane count would make buckets (and the
+      per-bucket pair space) grow linearly with N.
     * the per-bucket GEMM runs in ``chunk_rows`` slabs: peak task memory is
       O(chunk_rows * |bucket|) instead of O(|bucket|^2).
+    * cross-table reduce keeps the best-scoring candidate per query
+      (tie-break: nn_id asc), so output is one row per vec_id that
+      collided with anything.
     """
     spark = embeddings.sparkSession
     if n_planes is None:
@@ -145,21 +153,32 @@ def lsh_bucketed_knn(
     first = embeddings.select(vec_col).head()
     dim = len(first[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_planes * n_tables))
     bc = spark.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(n_planes)
 
     def sign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (m @ bc.value) > 0
-            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col], "embedding": pdf[vec_col], "bucket": sig.astype(np.int64)}
-            )
+            bits = (m @ bc.value) > 0  # (batch, n_planes * n_tables)
+            frames = []
+            for t in range(n_tables):
+                sig = (bits[:, t * n_planes : (t + 1) * n_planes] * weights).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf[id_col],
+                            "embedding": pdf[vec_col],
+                            "table_idx": np.int32(t),
+                            "bucket": sig.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
-    sig_schema = "vec_id long, embedding array<float>, bucket long"
+    sig_schema = "vec_id long, embedding array<float>, table_idx int, bucket long"
     with_sig = embeddings.mapInPandas(sign, sig_schema)
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -190,4 +209,18 @@ def lsh_bucketed_knn(
             }
         )
 
-    return with_sig.groupBy("bucket").applyInPandas(per_bucket, KNN_SCHEMA)
+    per_table = with_sig.groupBy("table_idx", "bucket").applyInPandas(
+        per_bucket, KNN_SCHEMA
+    )
+    if n_tables == 1:
+        return per_table
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("cos_sim"), F.asc("nn_id")
+    )
+    return (
+        per_table.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

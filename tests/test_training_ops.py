@@ -154,3 +154,36 @@ def test_summaries_match_pandas(spark, synth_dir, cfg):
     site = group_level_summary(accepted, cfg).toPandas()
     assert site["num_subjects_any_journal"].sum() == len(want_days)
     assert abs(site["sum_minutes_audio_uploaded"].sum() - want_minutes.sum()) < 1e-3
+
+def test_lsh_ann_recall_vs_exact_sf001(spark):
+    """Quantitative ANN gate: multi-table LSH recall@1 >= 0.9 against the
+    exact broadcast-GEMM kNN on the sf0.01 embeddings table (random
+    near-orthogonal embeddings — the WORST case for angular LSH; clustered
+    real-world embeddings do better)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata unavailable")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = brute_force_knn(e, e, k=1).toPandas().set_index("vec_id")
+    ann = (
+        lsh_bucketed_knn(e, n_planes=3, n_tables=16, seed=42)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    hits = sum(
+        1
+        for v in exact.index
+        if v in ann.index and ann.loc[v, "nn_id"] == exact.loc[v, "nn_id"]
+    )
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"ANN recall@1 {recall:.3f} < 0.9"
+
+
+def test_brute_force_knn_size_guard(spark):
+    e = spark.range(0, 10).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    with pytest.raises(ValueError, match="max_candidates"):
+        brute_force_knn(e, e, k=1, max_candidates=5)
