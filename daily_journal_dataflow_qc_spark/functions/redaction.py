@@ -67,6 +67,27 @@ def redact_line(line: str) -> tuple[str | None, bool]:
     return "".join(out), False
 
 
+#: structural brace-convention well-formedness (JVM regex form of the same
+#: rule redact_line enforces): any prefix without '{' is unchecked (may hold
+#: stray '}'), then each '{' group must contain exactly one '}' before the
+#: next '{', and a trailing lone '{' (empty tail) violates. Verified
+#: equivalent to redact_line's violated bit by a fuzz test
+#: (tests/test_naming.py::test_jvm_violation_predicate_matches_udf).
+#: inner '{' groups need exactly one '}' before the next '{'; the FINAL
+#: group is laxer — reference accepts any tail that simply ends with '}'
+#: (redact_line's last[-1] == '}' branch never counts braces)
+_WELLFORMED_RE = "^[^{]*(\\{[^{}]*\\}[^{}]*)*(\\{[^{]*\\})?$"
+
+
+def violated_line(col):
+    """F11 violation flag as a pure JVM predicate (whole-stage codegen) —
+    lets per-session violation flags be aggregated without routing text
+    through the Python boundary a second time."""
+    return F.coalesce(
+        col.contains("{") & ~col.rlike(_WELLFORMED_RE), F.lit(False)
+    )
+
+
 @F.pandas_udf(_RESULT_TYPE)
 def redact_udf(texts: pd.Series) -> pd.DataFrame:
     # fast path: lines with no '{' pass through unchanged (reference :58-60);

@@ -63,14 +63,29 @@ def returned_accepted_diaries(
     )
 
 
-def redacted_turns(sessioned_turns: DataFrame, diaries: DataFrame) -> DataFrame:
-    """Per-turn redaction over the turns of the given diaries.
+def redact_projection(turns: DataFrame) -> DataFrame:
+    """Stateless per-turn redaction projection: ``text`` becomes the
+    redacted text, ``violated`` the per-line violation bit.
 
-    Returns turn rows with ``text`` (redacted), ``violated`` (bool), plus the
-    diary identity columns. Callers must exclude every turn of any diary with
-    a violated line (reference deletes the whole output file,
-    phone_transcript_redaction.py:69-72).
-    """
+    Applied BEFORE the conv_id exchange (same topology as the streaming
+    job's turn_projection): ArrowEvalPython does not preserve partitioning
+    or ordering, so a UDF placed between the identity windows and the
+    per-turn stats windows forces Catalyst to re-exchange and re-sort the
+    wide rows — placing it on the scan side keeps the whole window chain on
+    ONE exchange and its two sorts."""
+    red = redact_udf(normalize_text(F.col("text")))
+    return turns.withColumns(
+        {"text": red.getField("redacted"), "violated": red.getField("violated")}
+    )
+
+
+def attach_diaries(sessioned_turns: DataFrame, diaries: DataFrame) -> DataFrame:
+    """Attach diary identity columns to (already redacted) session turns.
+
+    Broadcasts the diary side: it is 10-1000x smaller than the turn stream
+    (one row per accepted+returned diary) — a sort-merge join here would
+    re-sort the whole turn stream. At extreme diary counts, drop the hint
+    and bucket instead."""
     diary_cols = diaries.select(
         "conv_id",
         "session_id",
@@ -82,58 +97,85 @@ def redacted_turns(sessioned_turns: DataFrame, diaries: DataFrame) -> DataFrame:
         "timeofday",
         "weekday",
     )
-    # broadcast the diary side: it is 10-1000x smaller than the turn stream
-    # (one row per accepted+returned diary) — a sort-merge join here would
-    # re-sort the whole cached turn stream (the dominant non-scaling cost at
-    # 27M turns). At extreme diary counts, drop the hint and bucket instead.
-    turns = sessioned_turns.join(F.broadcast(diary_cols), DIARY_KEY, "inner")
-    red = redact_udf(normalize_text(F.col("text")))
-    return turns.withColumns(
-        {"text": red.getField("redacted"), "violated": red.getField("violated")}
+    return sessioned_turns.join(F.broadcast(diary_cols), DIARY_KEY, "inner")
+
+
+def redacted_turns(sessioned_turns: DataFrame, diaries: DataFrame) -> DataFrame:
+    """Per-turn redaction over the turns of the given diaries (join + UDF;
+    kept for callers whose input was not pre-redacted). Callers must exclude
+    every turn of any diary with a violated line (reference deletes the
+    whole output file, phone_transcript_redaction.py:69-72)."""
+    return redact_projection(attach_diaries(sessioned_turns, diaries))
+
+
+def diary_violation_flags(red_turns: DataFrame) -> DataFrame:
+    """Per-diary `_any_violated` flag via a cheap aggregation.
+
+    ``violated`` here may be the redaction UDF's output OR the pure-JVM
+    structural predicate (functions.redaction.violated_line — fuzz-tested
+    equivalent): the JVM form lets the flag aggregation run without a second
+    pass through the Python boundary. The groupBy reuses the conv_id hash
+    partitioning (ClusteredDistribution satisfied), so this is a map-side
+    aggregate — NO exchange and NO wide-row window sort."""
+    return red_turns.groupBy(*DIARY_KEY).agg(
+        F.max("violated").alias("_any_violated"), F.first("filename").alias("filename")
     )
 
 
 def split_violations(red_turns: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_turns, violated_diaries): poison whole diaries on any violation.
 
-    Single-pass: the per-diary violation flag is a window max (one shuffle on
-    the diary key the downstream stats need anyway) — no self-join, and the
-    redaction UDF upstream is evaluated once.
+    The per-diary flag is a diary-level aggregate broadcast-joined back onto
+    the turns — replaces the previous full-width window max, whose sort over
+    the wide (text-bearing) rows was the worst-scaling stage of the heavy
+    pass (wide-row sorts saturate the memory bus well before 4x cores).
     """
-    # same partitioning AND ordering as the turn_stats windows, so Catalyst
-    # plans ONE sort for the whole per-diary window chain
-    w = Window.partitionBy(*DIARY_KEY).orderBy("ts", "turn_idx").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    flagged = red_turns.withColumn("_any_violated", F.max("violated").over(w))
+    flags = diary_violation_flags(red_turns).drop("filename")
+    flagged = red_turns.join(F.broadcast(flags), DIARY_KEY, "left")
     clean = flagged.filter(~F.col("_any_violated")).drop("_any_violated")
     violated = (
-        flagged.filter(F.col("_any_violated"))
+        diary_violation_flags(red_turns)
+        .filter(F.col("_any_violated"))
         .select(*DIARY_KEY, "filename")
-        .distinct()
     )
     return clean, violated
 
 
-def turn_stats(clean_turns: DataFrame) -> DataFrame:
-    """Per-turn sentence stats (phone_transcript_sentence_stats.py:147-217)."""
-    w = Window.partitionBy(*DIARY_KEY).orderBy("ts", "turn_idx")
-    df = clean_turns.withColumn("text_lc", F.lower(F.col("text")))
-    df = with_sentence_metrics(df, "text_lc")
+def gap_stats(turns_with_diary: DataFrame) -> DataFrame:
+    """Timestamp-side per-turn stats (NO text dependency — runs BEFORE the
+    redaction UDF so the lead windows sit directly on the sessionize sort).
+
+    The lead window partitions by conv_id ONLY and orders by (ts, turn_idx)
+    — the exact sort the sessionize window upstream already established, so
+    Catalyst plans NO additional sort for the whole per-turn stats chain.
+    Session boundaries are detected via lead(session_id): session_id is
+    ts-monotone within a conversation, so a conv-ordered lead crossing into
+    the next session is exactly 'last turn of this session'."""
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     sec = F.col("ts").cast("double") - F.col("session_start").cast("double")
-    df = df.withColumn("sec_from_start", sec).withColumn(
+    df = turns_with_diary.withColumn("sec_from_start", sec).withColumn(
         "minutes_from_start", sec / 60.0
     )
     lead_sec = F.lead("sec_from_start").over(w)
+    same_session = F.lead("session_id").over(w) == F.col("session_id")
+    in_gap = F.when(same_session, lead_sec - F.col("sec_from_start"))
     # inner gap: next sentence start - this start; for the LAST sentence the
     # reference substitutes audio_duration*60 - last_start, where
     # "audio_duration" is actually overall_db (reproduced bug, see module doc)
-    df = df.withColumn(
+    return df.withColumn(
         "estimated_sentence_seconds",
-        F.when(lead_sec.isNotNull(), lead_sec - F.col("sec_from_start")).otherwise(
-            F.col("overall_db") * 60.0 - F.col("sec_from_start")
+        F.coalesce(
+            in_gap, F.col("overall_db") * 60.0 - F.col("sec_from_start")
         ),
-    ).withColumn("inner_gap_seconds", lead_sec - F.col("sec_from_start"))
+    ).withColumn("inner_gap_seconds", in_gap)
+
+
+def text_stats(redacted: DataFrame) -> DataFrame:
+    """Text-side per-turn sentence metrics (pure JVM projections over the
+    redacted text — no windows, so it composes freely AFTER the UDF even
+    though ArrowEvalPython drops partitioning/ordering)."""
+    df = redacted.withColumn("text_lc", F.lower(F.col("text")))
+    df = with_sentence_metrics(df, "text_lc")
     return df.withColumns(
         {
             "inaudibles_and_questionables": (
@@ -145,95 +187,139 @@ def turn_stats(clean_turns: DataFrame) -> DataFrame:
     )
 
 
-def transcript_qc(stats: DataFrame) -> DataFrame:
-    """Per-diary transcript QC row (transcript_diary_qc.py:174-242, A2-A4, W2-W4)."""
-    gap_per_word = F.col("inner_gap_seconds") / F.col("word_count")
-    return (
-        stats.groupBy(
-            "conv_id",
-            "session_id",
-            "day",
-            "timeofday",
-            "weekday",
-            "daily_submission_number",
-            "filename",
-        )
-        .agg(
-            F.countDistinct("role").alias("speakerID_count"),
-            F.sum(F.when(F.col("role") == "S1", 1).otherwise(0))
-            .cast("int")
-            .alias("S1_sentence_count"),
-            F.count("*").cast("int").alias("total_sentence_count"),
-            F.sum("word_count").cast("int").alias("word_count"),
-            F.min("word_count").alias("min_words_in_sen"),
-            F.max("word_count").alias("max_words_in_sen"),
-            F.sum("inaudible_count").cast("int").alias("inaudible_count"),
-            F.sum("questionable_count").cast("int").alias("questionable_count"),
-            F.sum("other_bracketed_words")
-            .cast("int")
-            .alias("other_bracketed_notation_count"),
-            F.sum("redactions").cast("int").alias("redacted_count"),
-            F.round(F.max("minutes_from_start"), 3).alias("final_timestamp_minutes"),
-            F.round(F.min("inner_gap_seconds"), 3).alias("min_timestamp_space_seconds"),
-            F.round(F.max("inner_gap_seconds"), 3).alias("max_timestamp_space_seconds"),
-            F.round(F.min(gap_per_word), 3).alias("min_timestamp_space_per_word"),
-            F.round(F.max(gap_per_word), 3).alias("max_timestamp_space_per_word"),
-            F.when(F.min("is_ascii"), F.lit("ASCII"))
-            .otherwise(F.lit("UTF-8"))
-            .alias("txt_encoding_type"),
-        )
-        .withColumn(
-            "redacted_csv_filename",
-            F.concat(
-                F.regexp_replace("filename", "\\.wav$", ""), F.lit("_REDACTED.csv")
-            ),
-        )
-        .withColumn("speakerID_count", F.col("speakerID_count").cast("int"))
-    )
+def turn_stats(clean_turns: DataFrame) -> DataFrame:
+    """Per-turn sentence stats (phone_transcript_sentence_stats.py:147-217):
+    timestamp-side gap stats + text-side sentence metrics. Callers on the
+    perf path compose ``gap_stats`` -> redact_projection -> ``text_stats``
+    explicitly so the UDF runs on the joined subset with no window above it."""
+    return text_stats(gap_stats(clean_turns))
 
 
-def disfluencies(stats: DataFrame) -> DataFrame:
-    """Per-diary disfluency summary (phone_transcript_sentence_stats.py:97-118).
+ROLLUP_KEYS = [
+    "conv_id",
+    "session_id",
+    "day",
+    "timeofday",
+    "weekday",
+    "daily_submission_number",
+    "filename",
+]
 
-    Count columns are doubles (reference builds them with np.nansum) and
-    ``length_minutes`` carries the overall_db value (reproduced bug).
+
+def diary_rollup(stats: DataFrame) -> DataFrame:
+    """ONE combined per-diary aggregation feeding both the transcript-QC row
+    (transcript_diary_qc.py:174-242) and the disfluency summary
+    (phone_transcript_sentence_stats.py:97-118).
+
+    Single-pass multi-sink design: the two outputs group by the same diary
+    key, so computing them as one aggregation halves the shuffles over the
+    per-turn stats (the widest intermediate) — at 100 TB the turn table is
+    the cost center, every extra traversal of it is the bottleneck.
     """
-    agg = stats.groupBy(
-        "conv_id", "session_id", "day", "daily_submission_number", "filename"
-    ).agg(
-        F.first("overall_db").alias("length_minutes"),
-        F.sum("word_count").cast("double").alias("total_word_count"),
+    gap_per_word = F.col("inner_gap_seconds") / F.col("word_count")
+    return stats.groupBy(*ROLLUP_KEYS).agg(
+        F.countDistinct("role").cast("int").alias("speakerID_count"),
+        F.sum(F.when(F.col("role") == "S1", 1).otherwise(0))
+        .cast("int")
+        .alias("S1_sentence_count"),
+        F.count("*").cast("int").alias("total_sentence_count"),
+        F.sum("word_count").alias("_wc_sum"),
+        F.min("word_count").alias("min_words_in_sen"),
+        F.max("word_count").alias("max_words_in_sen"),
+        F.sum("inaudible_count").cast("int").alias("inaudible_count"),
+        F.sum("questionable_count").cast("int").alias("questionable_count"),
+        F.sum("other_bracketed_words")
+        .cast("int")
+        .alias("other_bracketed_notation_count"),
+        F.sum("redactions").cast("int").alias("redacted_count"),
+        F.round(F.max("minutes_from_start"), 3).alias("final_timestamp_minutes"),
+        F.round(F.min("inner_gap_seconds"), 3).alias("min_timestamp_space_seconds"),
+        F.round(F.max("inner_gap_seconds"), 3).alias("max_timestamp_space_seconds"),
+        F.round(F.min(gap_per_word), 3).alias("min_timestamp_space_per_word"),
+        F.round(F.max(gap_per_word), 3).alias("max_timestamp_space_per_word"),
+        F.min("is_ascii").alias("_all_ascii"),
+        F.first("overall_db").alias("_overall_db"),
         F.sum("nonverbal_edits").cast("double").alias("nonverbal_edits_count"),
         F.sum("verbal_edits").cast("double").alias("verbal_edits_count"),
         F.sum("repeats").cast("double").alias("repeats_count"),
         F.sum("restarts").cast("double").alias("restarts_count"),
     )
+
+
+def tqc_from_rollup(rollup: DataFrame) -> DataFrame:
+    """Transcript-QC row set from the combined rollup."""
+    return rollup.select(
+        *ROLLUP_KEYS,
+        "speakerID_count",
+        "S1_sentence_count",
+        "total_sentence_count",
+        F.col("_wc_sum").cast("int").alias("word_count"),
+        "min_words_in_sen",
+        "max_words_in_sen",
+        "inaudible_count",
+        "questionable_count",
+        "other_bracketed_notation_count",
+        "redacted_count",
+        "final_timestamp_minutes",
+        "min_timestamp_space_seconds",
+        "max_timestamp_space_seconds",
+        "min_timestamp_space_per_word",
+        "max_timestamp_space_per_word",
+        F.when(F.col("_all_ascii"), F.lit("ASCII"))
+        .otherwise(F.lit("UTF-8"))
+        .alias("txt_encoding_type"),
+        F.concat(
+            F.regexp_replace("filename", "\\.wav$", ""), F.lit("_REDACTED.csv")
+        ).alias("redacted_csv_filename"),
+    )
+
+
+def disf_from_rollup(rollup: DataFrame) -> DataFrame:
+    """Disfluency summary from the combined rollup.
+
+    Count columns are doubles (reference builds them with np.nansum) and
+    ``length_minutes`` carries the overall_db value (reproduced bug)."""
     total = (
         F.col("nonverbal_edits_count")
         + F.col("verbal_edits_count")
         + F.col("repeats_count")
         + F.col("restarts_count")
     )
-    return (
-        agg.withColumn(
-            "transcript_csv_name",
-            F.concat(
+    return rollup.select(
+        "conv_id",
+        "session_id",
+        "day",
+        "daily_submission_number",
+        "filename",
+        F.col("_overall_db").alias("length_minutes"),
+        F.col("_wc_sum").cast("double").alias("total_word_count"),
+        "nonverbal_edits_count",
+        "verbal_edits_count",
+        "repeats_count",
+        "restarts_count",
+    ).withColumns(
+        {
+            "transcript_csv_name": F.concat(
                 F.regexp_replace("filename", "\\.wav$", ""),
                 F.lit("_REDACTED_withSentenceStats.csv"),
             ),
-        )
-        .withColumn("total_disfluencies", total)
-        .withColumns(
-            {
-                "nonverbal_edits_per_word": F.col("nonverbal_edits_count")
-                / F.col("total_word_count"),
-                "verbal_edits_per_word": F.col("verbal_edits_count")
-                / F.col("total_word_count"),
-                "repeats_per_word": F.col("repeats_count") / F.col("total_word_count"),
-                "restarts_per_word": F.col("restarts_count")
-                / F.col("total_word_count"),
-                "disfluencies_per_minute": F.col("total_disfluencies")
-                / F.col("length_minutes"),
-            }
-        )
+            "total_disfluencies": total,
+            "nonverbal_edits_per_word": F.col("nonverbal_edits_count")
+            / F.col("total_word_count"),
+            "verbal_edits_per_word": F.col("verbal_edits_count")
+            / F.col("total_word_count"),
+            "repeats_per_word": F.col("repeats_count") / F.col("total_word_count"),
+            "restarts_per_word": F.col("restarts_count") / F.col("total_word_count"),
+            "disfluencies_per_minute": total / F.col("length_minutes"),
+        }
     )
+
+
+def transcript_qc(stats: DataFrame) -> DataFrame:
+    """Per-diary transcript QC row (transcript_diary_qc.py:174-242, A2-A4, W2-W4)."""
+    return tqc_from_rollup(diary_rollup(stats))
+
+
+def disfluencies(stats: DataFrame) -> DataFrame:
+    """Per-diary disfluency summary (phone_transcript_sentence_stats.py:97-118)."""
+    return disf_from_rollup(diary_rollup(stats))

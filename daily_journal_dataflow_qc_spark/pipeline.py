@@ -71,16 +71,23 @@ def run_batch(
     returns = transcript_ops.dedup_tool_calls(tool_calls, "return")
     returned = transcript_ops.returned_accepted_diaries(qc, requests, returns)
 
-    # transcript side
-    red = transcript_ops.redacted_turns(sessioned, returned)
-    if persist_intermediates:
-        red = red.persist()  # the Python (Arrow) boundary — evaluate once
-    clean_turns, violated = transcript_ops.split_violations(red)
-    stats = transcript_ops.turn_stats(clean_turns)
+    # transcript side: join (prunes to returned-accepted turns) -> ts-side
+    # gap windows (reuse the sessionize sort) -> redaction UDF -> text-side
+    # metric projections. The UDF comes LAST among these because
+    # ArrowEvalPython drops partitioning/ordering — nothing above it may
+    # need a window (see transcript.gap_stats/text_stats).
+    joined = transcript_ops.attach_diaries(sessioned, returned)
+    red = transcript_ops.redact_projection(transcript_ops.gap_stats(joined))
+    stats = transcript_ops.text_stats(red)
     if persist_intermediates:
         stats = stats.persist()
-    tqc = transcript_ops.transcript_qc(stats)
-    disf = transcript_ops.disfluencies(stats)
+    clean_turns, violated = transcript_ops.split_violations(stats)
+    stats = clean_turns
+    # ONE combined per-diary aggregation feeds both transcript QC and the
+    # disfluency summary (one shuffle over the turn stats instead of two)
+    rollup = transcript_ops.diary_rollup(stats)
+    tqc = transcript_ops.tqc_from_rollup(rollup)
+    disf = transcript_ops.disf_from_rollup(rollup)
 
     # final row sets
     accepted = compile_ops.accepted_set(qc, tqc, disf)
@@ -107,6 +114,114 @@ def run_batch(
         "restarts",
     )  # no global sort: the (conv_id, turn_idx) parity ordering is applied
     # by consumers/tests; a range shuffle of the widest output is wasted work
+
+    return PipelineOutputs(
+        accepted=accepted,
+        rejected=rejected,
+        issues=issues,
+        turn_stats=turn_stats_out,
+        audio_qc=qc,
+        transcript_qc=tqc,
+        disfluencies=disf,
+    )
+
+
+def run_batch_staged(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    tool_calls: DataFrame,
+    conv_meta: DataFrame,
+    staging_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> PipelineOutputs:
+    """Single-pass multi-sink batch run: the WIDE per-turn stats (redaction
+    output + sentence metrics + gap windows + text) are computed in ONE
+    traversal and written to a columnar staging table; every diary-level
+    output is then derived from a column-PRUNED re-read of that table.
+
+    Versus ``run_batch(persist_intermediates=True)`` this removes the wide
+    in-memory cache entirely (its build + repeated full-width scans are
+    memory-bandwidth-bound — the non-scaling term on a shared bus) and
+    replaces it with one parquet encode plus narrow columnar reads: the
+    rollup aggregation never touches the text column at all. This is the
+    plan you would run at 100 TB — materialize the enriched turn-level
+    table once, derive every rollup from pruned scans of it.
+
+    Violated diaries are NOT filtered before staging: rows carry the
+    per-diary ``_any_violated`` flag instead, so the violation row set and
+    the clean row set are both cheap post-stage filters of the same single
+    heavy pass.
+    """
+    turns = diary_ops.dedup_turns(transcripts)
+    sessioned = diary_ops.sessionize(turns, cfg)
+    diaries = diary_ops.diary_identity(sessioned, conv_meta, cfg)
+    qc = diary_ops.audio_qc(diaries, cfg).persist()  # diary-level: small
+
+    requests = transcript_ops.dedup_tool_calls(tool_calls, "request")
+    returns = transcript_ops.dedup_tool_calls(tool_calls, "return")
+    returned = transcript_ops.returned_accepted_diaries(qc, requests, returns)
+
+    # THE heavy pass: join (prunes to returned-accepted turns) -> ts-side
+    # gap windows -> redaction UDF -> text-side metric projections -> one
+    # staged write, text included. The gap lead-windows partition by
+    # conv_id and order by (ts, turn_idx) — the exact sort the sessionize
+    # window upstream already produced — and the UDF comes after every
+    # window (ArrowEvalPython drops partitioning/ordering), so the whole
+    # pass runs on the single conv_id exchange and its two sorts. The
+    # per-turn `violated` bit rides into the staging table; diary-level
+    # poisoning is derived afterwards from a column-pruned read (never a
+    # second wide window sort).
+    from pyspark.sql import functions as F
+
+    joined = transcript_ops.attach_diaries(sessioned, returned)
+    red = transcript_ops.redact_projection(transcript_ops.gap_stats(joined))
+    # drop the lowered-text working column before staging: text is the wide
+    # column, writing it twice would double the staged bytes
+    staged_stats = transcript_ops.text_stats(red).drop("text_lc")
+    staged_stats.write.mode("overwrite").parquet(staging_dir)
+
+    staged = spark.read.parquet(staging_dir)
+    flags = staged.groupBy(*transcript_ops.DIARY_KEY).agg(
+        F.max("violated").alias("_any_violated"),
+        F.first("filename").alias("filename"),
+    )
+    violated = flags.filter(F.col("_any_violated")).select(
+        *transcript_ops.DIARY_KEY, "filename"
+    )
+    clean = (
+        staged.join(
+            F.broadcast(flags.drop("filename")), transcript_ops.DIARY_KEY, "left"
+        )
+        .filter(~F.col("_any_violated"))
+        .drop("_any_violated")
+    )
+    rollup = transcript_ops.diary_rollup(clean).persist()  # diary-level: small
+    tqc = transcript_ops.tqc_from_rollup(rollup)
+    disf = transcript_ops.disf_from_rollup(rollup)
+
+    accepted = compile_ops.accepted_set(qc, tqc, disf)
+    rejected = compile_ops.rejected_set(qc)
+    issues = compile_ops.issues_set(qc, requests, returns, violated, cfg)
+
+    turn_stats_out = clean.select(
+        "conv_id",
+        "turn_idx",
+        "day",
+        "daily_submission_number",
+        "role",
+        "text",
+        "word_count",
+        "inaudibles_and_questionables",
+        "other_bracketed_words",
+        "redactions",
+        "estimated_sentence_seconds",
+        "nonverbal_edits",
+        "verbal_edits",
+        "stutter_repeats",
+        "word_repeats",
+        "repeats",
+        "restarts",
+    )
 
     return PipelineOutputs(
         accepted=accepted,

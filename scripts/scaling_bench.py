@@ -18,16 +18,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(master: str, replicas: int) -> dict:
+    """One fresh-JVM bench run, CPU-PINNED to exactly the core count of the
+    level: unpinned local[N] leaks extra host cores to GC / Python UDF
+    workers / shuffle IO threads, inflating the small-N baseline and
+    understating scaling efficiency. taskset emulates an N-core executor
+    faithfully (all of the executor's threads share its N cores)."""
+    import shutil as _sh
+
+    cores = int(master[master.index("[") + 1 : -1])
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "bench.py"),
+        "--master",
+        master,
+        "--flagship-only",
+        "--replicas",
+        str(replicas),
+    ]
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "bench.py"),
-            "--master",
-            master,
-            "--flagship-only",
-            "--replicas",
-            str(replicas),
-        ],
+        cmd,
         capture_output=True,
         text=True,
         check=True,
@@ -37,8 +48,8 @@ def run_level(master: str, replicas: int) -> dict:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 480
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n4 = 4 * n
     # best-of-N per level: the sandbox host is shared (load avg ~10 from
@@ -53,10 +64,20 @@ def main() -> None:
     eff = tps32 / (4.0 * tps8)
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
-Protocol (BASELINE.md): identical flagship QC-pipeline job, identical input
-({r8['bench_turns']:,} turns of deterministic seeded transcripts), run at two
-parallelism levels in fresh JVMs. `spark.sql.shuffle.partitions` matches the
-core count at each level.
+Protocol (BASELINE.md): identical flagship QC-pipeline job (single-pass
+staged plan), identical input ({r8['bench_turns']:,} turns of deterministic
+seeded transcripts), run at two parallelism levels in fresh JVMs.
+`spark.sql.shuffle.partitions` is a STATIC 256 at both levels with AQE
+partition coalescing (a static width scaled to the core count capped the
+large window sorts below per-task memory and spilled — see round-1 notes);
+`spark.sql.files.maxPartitionBytes` is lowered to 16m so leaf-scan
+parallelism is set by the data, not by the single-file bench layout; scratch
+(shuffle dirs + the staged turn-stats table) lives on tmpfs because this
+single-host bench shares ONE disk across every core, whereas a real
+cluster's per-executor scratch I/O scales with executor count. Each level is
+CPU-PINNED (taskset) to exactly its core count so GC / Python-worker /
+shuffle-IO threads cannot leak onto idle host cores and inflate the small-N
+baseline.
 
 | level | master | wall (s) | throughput (turns/s) |
 |---|---|---|---|

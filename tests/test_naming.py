@@ -78,3 +78,33 @@ def test_basename_dirname(spark):
     ).toPandas()
     assert got["b"].tolist() == [p.split("/")[-1] for p in paths]
     assert got["d"].tolist() == ["/a/b", "", "/x/y"]
+
+
+def test_jvm_violation_predicate_matches_udf(spark):
+    """The JVM structural brace predicate must agree with redact_line's
+    violated bit on an exhaustive small-alphabet fuzz set."""
+    import itertools
+
+    from daily_journal_dataflow_qc_spark.functions.redaction import (
+        redact_line,
+        violated_line,
+    )
+
+    # all strings up to length 6 over a brace-heavy alphabet + fixture-like
+    # longer samples
+    alpha = "{}a "
+    samples = [""]
+    for n in range(1, 7):
+        samples += ["".join(p) for p in itertools.product(alpha, repeat=n)]
+    samples += [
+        "hello {john smith} bye", "a {x} b {y} c", "a {x}} b", "a {x",
+        "{}", "}{", "} ok {fine}", "no braces at all", "{a}{b}", "{a} {b",
+    ]
+    want = [redact_line(s)[1] for s in samples]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [
+        bool(r["v"])
+        for r in df.select(violated_line(F.col("t")).alias("v")).collect()
+    ]
+    bad = [(s, w, g) for s, w, g in zip(samples, want, got) if w != g]
+    assert not bad, f"{len(bad)} disagreements, first: {bad[:5]}"
