@@ -176,8 +176,13 @@ def start_session_qc_query(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     max_files_per_trigger: int | None = None,
     tool_calls_dir: str | None = None,
+    backend: str = "session_window",
 ):
     """Launch the diary-QC streaming query (availableNow trigger).
+
+    ``backend``: 'session_window' (declarative aggregate, default) or 'tws'
+    (transformWithStateInPandas processor with explicit ValueState/ListState
+    — see streaming/tws.py). Both feed the same compile_batch stage.
 
     When ``tool_calls_dir`` is given, transcript-side outputs (transcript QC
     + per-turn stats) are gated on the diary's tool-call round trip having
@@ -191,7 +196,12 @@ def start_session_qc_query(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     turns = reader.parquet(input_dir)
 
-    diary_stream = session_qc_aggregate(turn_projection(turns), cfg)
+    if backend == "tws":
+        from .tws import session_qc_aggregate_tws
+
+        diary_stream = session_qc_aggregate_tws(turn_projection(turns), cfg)
+    else:
+        diary_stream = session_qc_aggregate(turn_projection(turns), cfg)
 
     sinks = {
         "audio_qc": IdempotentBatchSink(output_root, "audio_qc"),

@@ -238,6 +238,167 @@ def test_session_agg_state_carries_no_turn_payload(spark, stream_input, cfg):
             )
 
 
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas spawns a python runner that requires
+    google.protobuf; this container ships a broken protobuf install
+    (ImportError: cannot import 'descriptor'), so the TWS integration test
+    is gated — the processor LOGIC is verified handle-free in
+    test_tws_processor_logic_matches_sessions."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_processor_logic_matches_sessions(spark, cfg):
+    """Drive SessionQcProcessor directly with an in-memory state handle:
+    dedup, gap-splitting, QC sums, gap stats, and tail-timer flush must
+    reproduce the session semantics of the declarative aggregate."""
+    import numpy as np
+
+    from daily_journal_dataflow_qc_spark.streaming.tws import SessionQcProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def clear(self):
+            self.v = None
+
+    class FakeListState(FakeValueState):
+        def __init__(self):
+            self.items = []
+
+        def exists(self):
+            return bool(self.items)
+
+        def get(self):
+            return iter(list(self.items))
+
+        def appendValue(self, v):
+            self.items.append(tuple(v))
+
+        def clear(self):
+            self.items = []
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+        def getListState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeListState())
+
+        def registerTimer(self, ts_ms):
+            self.timers.append(ts_ms)
+
+        def deleteTimer(self, ts_ms):
+            self.timers.remove(ts_ms)
+
+        def listTimers(self):
+            return iter(list(self.timers))
+
+    proc = SessionQcProcessor(gap_minutes=cfg.session_gap_minutes)
+    handle = FakeHandle()
+    proc.init(handle)
+
+    t0 = pd.Timestamp("2023-03-01 10:00:00")
+    us = int(t0.value // 1000)
+
+    def row(turn_idx, offset_s, wc=3, role="S1", violated=False):
+        return {
+            "ts_us": us + int(offset_s * 1e6),
+            "turn_idx": turn_idx,
+            "role": role,
+            "is_s1": 1 if role == "S1" else 0,
+            "has_tool": False,
+            "violated": violated,
+            "word_count": wc,
+            "inaudible_count": 1,
+            "questionable_count": 0,
+            "other_bracketed_words": 0,
+            "redactions": 0,
+            "nonverbal_edits": 1.0,
+            "verbal_edits": 0.0,
+            "repeats": 0.0,
+            "restarts": 0.0,
+            "is_ascii": True,
+        }
+
+    # session 1: turns 1-3 (with a verbatim re-delivery of 2); session 2
+    # starts 2h later (gap > 30min) -> eager flush of session 1
+    batch1 = pd.DataFrame(
+        [row(1, 0), row(2, 10, wc=5), row(2, 10, wc=5), row(3, 25, role="S2")]
+    )
+    out1 = list(proc.handleInputRows(("convX",), iter([batch1]), None))
+    assert out1 == []  # session still open
+    batch2 = pd.DataFrame([row(4, 7200), row(5, 7210)])
+    out2 = pd.concat(list(proc.handleInputRows(("convX",), iter([batch2]), None)))
+    assert len(out2) == 1
+    s1 = out2.iloc[0]
+    assert s1["n_turns"] == 3  # duplicate removed
+    assert s1["word_count"] == 3 + 5 + 3
+    assert s1["speakerID_count"] == 2
+    assert s1["S1_sentence_count"] == 2
+    assert s1["inaudible_count"] == 3
+    assert s1["min_timestamp_space_seconds"] == 10.0
+    assert s1["max_timestamp_space_seconds"] == 15.0
+    assert s1["final_timestamp_minutes"] == round(25 / 60.0, 3)
+    assert not s1["any_violated"]
+
+    # tail session flushes on the (event-time) timer
+    assert len(handle.timers) == 1
+    out3 = pd.concat(list(proc.handleExpiredTimer(("convX",), None, None)))
+    s2 = out3.iloc[0]
+    assert s2["n_turns"] == 2 and s2["word_count"] == 6
+    assert np.isclose(s2["min_timestamp_space_seconds"], 10.0)
+
+
+def test_tws_backend_matches_batch(spark, stream_input, synth_dir, cfg):
+    """The transformWithStateInPandas session backend (explicit ValueState +
+    ListState + event-time timers, streaming/tws.py) must produce the same
+    audio-QC row set as the batch engine."""
+    if not _protobuf_available():
+        pytest.skip(
+            "google.protobuf broken in this container; TWS python runner "
+            "cannot start (logic covered by test_tws_processor_logic...)"
+        )
+    out_root = "/tmp/djdq_stream_tws"
+    shutil.rmtree(out_root, ignore_errors=True)
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    q, sinks = start_session_qc_query(
+        spark, f"{stream_input}/transcripts", out_root, conv_meta, cfg,
+        backend="tws",
+    )
+    q.awaitTermination(600)
+    got = sinks["audio_qc"].read(spark).select(*QC_COMPARE_COLS).toPandas()
+    want = (
+        run_batch_from_dir(spark, synth_dir, cfg)
+        .audio_qc.select(*QC_COMPARE_COLS)
+        .toPandas()
+    )
+    compare_frames(
+        got,
+        want,
+        ["conv_id", "day", "daily_submission_number"],
+        rounded_atol_cols={"length_minutes": 2e-3},
+    )
+
+
 def test_streaming_metrics_listener(spark, stream_input, cfg):
     """§2.10 per-batch lineage/metrics: every micro-batch of a streaming
     query lands a metrics row (rows in, latency, state size) in the log."""
