@@ -187,3 +187,40 @@ def test_brute_force_knn_size_guard(spark):
     )
     with pytest.raises(ValueError, match="max_candidates"):
         brute_force_knn(e, e, k=1, max_candidates=5)
+
+
+def test_audio_metrics_m1_m2(spark):
+    """M1 RMS->dB + M2 mean spectral flatness over decoded signals: matches
+    an independent per-row numpy mirror of the reference formulas
+    (audio_diary_qc.py:81,160-168) and stays in the physical ranges."""
+    import hashlib
+
+    import numpy as np
+
+    from daily_journal_dataflow_qc_spark.operators.multimodal import (
+        SIGNAL_LEN,
+        audio_metrics,
+    )
+
+    media = synthesize_media(spark, n=12, seed=3)
+    got = audio_metrics(media, decoder="fake").toPandas().set_index("media_id")
+    raw = media.select("media_id", "content").toPandas()
+
+    for r in raw.itertuples():
+        content = bytes(r.content)
+        seed = int(hashlib.sha256(content).hexdigest()[:8], 16)
+        sig = np.random.default_rng(seed).standard_normal(SIGNAL_LEN)
+        rms = float(np.sqrt((sig**2).mean()))
+        want_db = round(20 * np.log10(rms / 2e-5), 2)
+        flats = []
+        for s in range(0, SIGNAL_LEN - 64 + 1, 32):
+            p = np.abs(np.fft.rfft(sig[s : s + 64])) ** 2
+            flats.append(np.exp(np.log(p + 1e-10).mean()) / (p.mean() + 1e-10))
+        want_flat = round(float(np.mean(flats)), 4)
+        assert got.loc[r.media_id, "overall_db"] == want_db
+        assert got.loc[r.media_id, "mean_flatness"] == want_flat
+        assert 0.0 < got.loc[r.media_id, "mean_flatness"] <= 1.0
+        assert 80.0 < got.loc[r.media_id, "overall_db"] < 110.0
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        audio_metrics(media, decoder="real").collect()
