@@ -522,12 +522,65 @@ def q_lang_id(spark, sf):
 
 def q_lsh_bucketed_ann(spark, sf):
     # training-data op: multi-table LSH-bucketed approximate NN (scale
-    # path; approximate by construction -> rows-only driver check, with a
-    # recall>=0.9-vs-exact gate in tests/test_training_ops.py)
+    # path). The hyperplanes are seeded-deterministic, so the construction
+    # is FULLY oracle-checkable: the DuckDB mirror embeds the same planes as
+    # SQL literals and replays sign-bucketing + per-bucket top-1 + the
+    # cross-table reduce (see _lsh_ann_oracle_sql). A recall>=0.9-vs-exact
+    # quality gate lives in tests/test_training_ops.py.
     from daily_journal_dataflow_qc_spark.operators.similarity import lsh_bucketed_knn
 
     e = _t(spark, sf, "embeddings")
     return lsh_bucketed_knn(e, n_planes=3, n_tables=16, seed=42)
+
+
+def _lsh_ann_oracle_sql(dim: int = 64, n_planes: int = 3, n_tables: int = 16, seed: int = 42) -> str:
+    """DuckDB mirror of q_lsh_bucketed_ann: the seeded hyperplanes are
+    regenerated with the identical numpy rng and embedded as SQL literals
+    (repr round-trips doubles bit-exactly), then sign-bucketing, the
+    per-bucket exact top-1 (unrounded cos DESC, nn_id ASC — the engine sorts
+    each bucket by vec_id and argmax keeps the first maximum), and the
+    cross-table best-of reduce (ROUNDED cos DESC, nn_id ASC) are replayed
+    relationally. Embeddings are cast to DOUBLE[] to match the engine's
+    float64 GEMM."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes * n_tables))
+    branches = []
+    for t in range(n_tables):
+        terms = []
+        for i in range(n_planes):
+            vec = ", ".join(repr(float(v)) for v in planes[:, t * n_planes + i])
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{vec}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        branches.append(
+            f"SELECT vec_id, embedding, {t} AS tbl, ({' + '.join(terms)}) AS bucket FROM embeddings"
+        )
+    sig = " UNION ALL ".join(branches)
+    return f"""
+        WITH sig AS ({sig}),
+        pairs AS (
+            SELECT a.tbl, a.bucket, a.vec_id AS vec_id, b.vec_id AS nn_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS cos
+            FROM sig a JOIN sig b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ),
+        per_tbl AS (
+            SELECT vec_id, nn_id, round(cos, 2) AS cos_sim,
+                   row_number() OVER (PARTITION BY tbl, vec_id
+                                      ORDER BY cos DESC, nn_id) AS rk1
+            FROM pairs
+        ),
+        best AS (
+            SELECT vec_id, nn_id, cos_sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, nn_id) AS rn
+            FROM per_tbl WHERE rk1 = 1
+        )
+        SELECT vec_id, nn_id, cos_sim, CAST(1 AS INT) AS rk FROM best WHERE rn = 1
+    """
 
 
 def q_redaction(spark, sf):
@@ -876,8 +929,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred
             FROM sc
         """,
-        # lsh_bucketed_ann: approximate by construction (random hyperplanes)
-        # -> rows-only driver check; recall-vs-exact is asserted in pytest
+        # lsh_bucketed_ann: planes are seeded-deterministic -> full relational
+        # mirror with the planes embedded as SQL literals
+        "lsh_bucketed_ann": _lsh_ann_oracle_sql(),
         "redaction": """
             SELECT doc_id,
                    replace(lower(text), 'table', '{REDACTED REDACTED}') AS redacted,

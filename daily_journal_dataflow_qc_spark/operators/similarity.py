@@ -99,19 +99,31 @@ def brute_force_knn(
                     if hit.size:
                         sims[r, hit] = -np.inf
             kk = min(k, sims.shape[1])
-            # tie-break: score desc, candidate id asc (stable parity ordering)
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = []
-            for r in range(sims.shape[0]):
-                cols = part[r]
-                order = np.lexsort((ids[cols], -sims[r, cols]))
-                for rank, j in enumerate(cols[order], start=1):
-                    s = sims[r, j]
-                    out_s = float("nan") if math.isinf(s) and s > 0 else float(s)
-                    rows.append(
-                        (q_ids[r], ids[j], float(_round_half_away(np.float64(out_s))), rank)
-                    )
-            yield pd.DataFrame(rows, columns=["vec_id", "nn_id", "cos_sim", "rk"])
+            n_q = sims.shape[0]
+            # tie-break: score desc, candidate id asc. argpartition alone
+            # selects an ARBITRARY subset among candidates tied at the k-th
+            # score boundary (worst case: a zero-norm query makes the whole
+            # row tie at +inf) — widen the cut to every candidate tied with
+            # the k-th score before the deterministic lexsort.
+            nn_idx = np.empty((n_q, kk), dtype=np.int64)
+            for r in range(n_q):
+                row = sims[r]
+                part = np.argpartition(-row, kk - 1)[:kk]
+                thresh = row[part].min()
+                cand = np.where(row >= thresh)[0]
+                order = np.lexsort((ids[cand], -row[cand]))[:kk]
+                nn_idx[r] = cand[order]
+            # columnar output assembly (no per-row Python tuple loop)
+            sel = sims[np.arange(n_q)[:, None], nn_idx]
+            out_s = _round_half_away(np.where(np.isposinf(sel), np.nan, sel))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(q_ids, kk),
+                    "nn_id": ids[nn_idx].ravel(),
+                    "cos_sim": out_s.ravel(),
+                    "rk": np.tile(np.arange(1, kk + 1, dtype=np.int32), n_q),
+                }
+            )
 
     return queries.select(id_col, vec_col).mapInPandas(score, KNN_SCHEMA)
 
@@ -184,6 +196,11 @@ def lsh_bucketed_knn(
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(columns=["vec_id", "nn_id", "cos_sim", "rk"])
+        # deterministic tie-break: rows sorted by vec_id, and argmax keeps
+        # the FIRST maximum — so exactly-tied scores (duplicate vectors,
+        # zero-norm inf sentinels) resolve to the smallest nn_id, matching
+        # the DuckDB oracle's (cos DESC, nn_id ASC) ordering
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         m, zero = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
         n = len(ids)
