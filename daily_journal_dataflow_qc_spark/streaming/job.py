@@ -31,6 +31,7 @@ SURVEY §7.3.1). The keyed validator provides the global ordering guarantees.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -51,6 +52,49 @@ STREAM_CONF = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
 }
+
+
+def _streamed_files(checkpoint_loc: str, batch_id: int) -> list[str] | None:
+    """Source files the file stream has ADMITTED through ``batch_id``, parsed
+    from the FileStreamSource metadata log (``sources/0``; entries are one
+    JSON line per file, compacted periodically into ``N.compact``).
+
+    Used to scope the foreachBatch turn-stats rebuild to exactly the data the
+    session aggregate could have seen: a file that landed in the input dir
+    after the batch was constructed must NOT leak rows into the per-turn sink
+    (the diary's n_turns/word_count never counted them). Returns None when
+    the log is unreadable — callers fall back to the full-dir read (the
+    pre-compaction behavior).
+
+    Residual accepted divergence: a sub-watermark LATE row inside an admitted
+    file (dropped by the session aggregate, dropDuplicates/session_window)
+    can still be re-read if its ts lands inside a session closing this batch
+    — arrival-time-exact replay would need an arrival column in the source.
+    """
+    src = os.path.join(checkpoint_loc, "sources", "0")
+    if not os.path.isdir(src):
+        return None
+    paths: set[str] = set()
+    try:
+        names = os.listdir(src)
+    except OSError:
+        return None
+    for name in names:
+        stem = name.split(".")[0]
+        if not stem.isdigit() or int(stem) > batch_id:
+            continue
+        try:
+            with open(os.path.join(src, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    p = json.loads(line).get("path")
+                    if p:
+                        paths.add(p)
+        except (OSError, json.JSONDecodeError):
+            return None
+    return sorted(paths) or None
 
 
 def turn_projection(turns: DataFrame) -> DataFrame:
@@ -335,28 +379,52 @@ def start_session_qc_query(
                     "conv_id", "day", "daily_submission_number", "session_start",
                     "session_end", "overall_db",
                 )
+                # ts bounds: 2 scalars to the driver — fine at any scale.
+                # The conv prune is a broadcast LEFT SEMI against the batch's
+                # distinct conv set (NOT collect_set -> isin: a batch closing
+                # millions of sessions would blow up the driver and burn a
+                # giant literal into the plan). The scan is additionally
+                # scoped to files the stream ADMITTED through this batch, so
+                # rows that landed after batch construction can't leak into
+                # the per-turn sink, and statically pruned by the ts range
+                # (at production scale the input is time-partitioned and this
+                # is a pruned point read).
                 bounds = diary_keys.agg(
                     F.min("session_start").alias("lo"),
                     F.max("session_end").alias("hi"),
-                    F.collect_set("conv_id").alias("convs"),
                 ).head()
                 if bounds and bounds["lo"] is not None:
-                    raw = (
-                        spark.read.schema(schemas.TRANSCRIPTS)
-                        .parquet(input_dir)
-                        .filter(F.col("conv_id").isin(list(bounds["convs"])))
-                        .filter(F.col("ts").between(bounds["lo"], bounds["hi"]))
+                    admitted = _streamed_files(
+                        os.path.join(output_root, "_checkpoint_qc"), batch_id
                     )
+                    reader = spark.read.schema(schemas.TRANSCRIPTS)
+                    raw_src = (
+                        reader.parquet(*admitted) if admitted else reader.parquet(input_dir)
+                    )
+                    # renamed key columns sidestep the self-lineage ambiguity
+                    # (the semi-join side and the range-join side both derive
+                    # from diary_keys)
+                    conv_set = diary_keys.select(
+                        F.col("conv_id").alias("_prune_conv")
+                    ).distinct()
+                    raw = raw_src.filter(
+                        F.col("ts").between(bounds["lo"], bounds["hi"])
+                    ).join(
+                        F.broadcast(conv_set),
+                        F.col("conv_id") == F.col("_prune_conv"),
+                        "left_semi",
+                    )
+                    dk = diary_keys.withColumnRenamed("conv_id", "_dk_conv")
                     sliced = raw.join(
-                        F.broadcast(diary_keys),
+                        F.broadcast(dk),
                         on=[
-                            raw["conv_id"] == diary_keys["conv_id"],
-                            raw["ts"].between(
-                                diary_keys["session_start"], diary_keys["session_end"]
+                            F.col("conv_id") == F.col("_dk_conv"),
+                            F.col("ts").between(
+                                F.col("session_start"), F.col("session_end")
                             ),
                         ],
                         how="inner",
-                    ).drop(diary_keys["conv_id"])
+                    ).drop("_dk_conv")
                     # first-arrival dedup within the slice (duplicates are
                     # verbatim re-deliveries, so equal to the agg-side
                     # dropDuplicatesWithinWatermark choice)
