@@ -9,8 +9,18 @@ streaming/job.py):
   per-turn (ts, word_count) pairs live in a ListState, which RocksDB stores
   as one KV entry PER ELEMENT: appends are O(1) and a hot session can never
   materialize one giant aggregation-buffer value,
-* dedup (turn_idx high-watermark + count-min sketch, the streaming/state.py
-  design) happens inside the same keyed pass — one stateful operator total,
+* dedup is EXACT and O(gaps): a turn_idx high-watermark plus a MapState of
+  the MISSING indices below it (turn indices are per-conversation sequence
+  numbers, so the gap set stays tiny — it grows only by genuinely dropped
+  turns). A re-delivery is "at/below HWM and not missing"; a legitimate
+  out-of-order arrival fills its gap and is KEPT. (The earlier count-min
+  sketch variant saturated on long conversations and silently dropped
+  legitimate late turns — an approximate structure is fine for flag
+  emission, state.py, but not for deciding what enters the diary.)
+* the keyed pass is vectorized: the batch is classified with numpy
+  (dedup mask, session segmentation), interior sessions are aggregated
+  straight from the Arrow batch without touching state, and the open
+  session's state is read/written ONCE per batch — not once per row,
 * sessions flush EAGERLY: a turn arriving beyond the gap emits the previous
   session immediately (classic CEP close-on-next-event), and an event-time
   timer at ``session_end + gap`` closes the tail session when the watermark
@@ -45,7 +55,6 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from .state import SKETCH_D, SKETCH_W, _PRIMES
 
 DIARY_SCHEMA = T.StructType(
     [
@@ -111,13 +120,11 @@ _PAIR_SCHEMA = T.StructType(
     ]
 )
 
-# dedup sketch (ValueState): turn_idx HWM + count-min counters
-_DEDUP_SCHEMA = T.StructType(
-    [
-        T.StructField("hwm", T.LongType(), False),
-        T.StructField("sketch", T.ArrayType(T.LongType()), False),
-    ]
-)
+# exact dedup: turn_idx high-watermark (ValueState) + the set of missing
+# indices below it (MapState — one RocksDB entry per gap, O(1) fill/remove)
+_HWM_SCHEMA = T.StructType([T.StructField("hwm", T.LongType(), False)])
+_MISSING_KEY_SCHEMA = T.StructType([T.StructField("idx", T.LongType(), False)])
+_MISSING_VAL_SCHEMA = T.StructType([T.StructField("one", T.LongType(), False)])
 
 
 def _round3(x: float) -> float:
@@ -135,28 +142,26 @@ class SessionQcProcessor(StatefulProcessor):
         self.handle = handle
         self.agg = handle.getValueState("agg", _AGG_SCHEMA)
         self.pairs = handle.getListState("pairs", _PAIR_SCHEMA)
-        self.dedup = handle.getValueState("dedup", _DEDUP_SCHEMA)
+        self.hwm = handle.getValueState("hwm", _HWM_SCHEMA)
+        self.missing = handle.getMapState(
+            "missing", _MISSING_KEY_SCHEMA, _MISSING_VAL_SCHEMA
+        )
 
     def close(self) -> None:
         pass
 
-    # -- helpers -------------------------------------------------------------
-    def _flush(self, conv_id: str):
-        """Emit the open session as one diary row and clear its state."""
-        if not self.agg.exists():
-            return None
-        a = self.agg.get()
+    # -- row/aggregate builders ----------------------------------------------
+    def _diary_row(self, conv_id: str, a: tuple, pairs: list[tuple[int, int]]) -> dict:
+        """One diary output row from an agg tuple + (ts_us, wc) pairs."""
         (
             start_us, end_us, n_turns, has_tool, any_viol, s1, wsum, wmin, wmax,
             inaud, quest, other, red, nonv, verb, reps, rest, all_ascii, roles,
         ) = a
-        pairs = sorted(
-            ((int(p[0]), int(p[1])) for p in self.pairs.get()), key=lambda p: p[0]
-        )
+        pairs = sorted(pairs, key=lambda p: p[0])
         secs = [p[0] / 1e6 for p in pairs]
         gaps = [b - a_ for a_, b in zip(secs, secs[1:])]
         gpw = [g / pairs[i][1] if pairs[i][1] else math.nan for i, g in enumerate(gaps)]
-        row = {
+        return {
             "conv_id": conv_id,
             "session_start": pd.Timestamp(start_us, unit="us"),
             "session_end": pd.Timestamp(end_us, unit="us"),
@@ -184,93 +189,166 @@ class SessionQcProcessor(StatefulProcessor):
             "max_timestamp_space_per_word": _round3(max(gpw)) if gpw else None,
             "txt_encoding_type": "ASCII" if all_ascii else "UTF-8",
         }
+
+    def _flush(self, conv_id: str):
+        """Emit the open session as one diary row and clear its state."""
+        if not self.agg.exists():
+            return None
+        a = self._norm_agg(self.agg.get())
+        pairs = [(int(p[0]), int(p[1])) for p in self.pairs.get()]
         self.agg.clear()
         self.pairs.clear()
-        return row
+        return self._diary_row(conv_id, a, pairs)
 
-    def _open(self, r) -> None:
-        self.agg.update(
-            (
-                int(r.ts_us), int(r.ts_us), 1,
-                bool(r.has_tool), bool(r.violated),
-                int(r.is_s1), int(r.word_count), int(r.word_count), int(r.word_count),
-                int(r.inaudible_count), int(r.questionable_count),
-                int(r.other_bracketed_words), int(r.redactions),
-                float(r.nonverbal_edits), float(r.verbal_edits),
-                float(r.repeats), float(r.restarts),
-                bool(r.is_ascii), str(r.role),
-            )
+    @staticmethod
+    def _norm_agg(a) -> tuple:
+        return (
+            int(a[0]), int(a[1]), int(a[2]), bool(a[3]), bool(a[4]),
+            int(a[5]), int(a[6]), int(a[7]), int(a[8]), int(a[9]), int(a[10]),
+            int(a[11]), int(a[12]), float(a[13]), float(a[14]), float(a[15]),
+            float(a[16]), bool(a[17]), str(a[18]),
         )
-        self.pairs.appendValue((int(r.ts_us), int(r.word_count)))
 
-    def _extend(self, r) -> None:
-        a = self.agg.get()
-        roles = a[18]
-        if str(r.role) not in roles.split("\x1f"):
-            roles = roles + "\x1f" + str(r.role)
-        self.agg.update(
-            (
-                min(int(a[0]), int(r.ts_us)), max(int(a[1]), int(r.ts_us)),
-                int(a[2]) + 1,
-                bool(a[3]) or bool(r.has_tool), bool(a[4]) or bool(r.violated),
-                int(a[5]) + int(r.is_s1),
-                int(a[6]) + int(r.word_count),
-                min(int(a[7]), int(r.word_count)), max(int(a[8]), int(r.word_count)),
-                int(a[9]) + int(r.inaudible_count),
-                int(a[10]) + int(r.questionable_count),
-                int(a[11]) + int(r.other_bracketed_words),
-                int(a[12]) + int(r.redactions),
-                float(a[13]) + float(r.nonverbal_edits),
-                float(a[14]) + float(r.verbal_edits),
-                float(a[15]) + float(r.repeats),
-                float(a[16]) + float(r.restarts),
-                bool(a[17]) and bool(r.is_ascii),
-                roles,
-            )
+    @staticmethod
+    def _seg_agg(seg: pd.DataFrame) -> tuple:
+        """Vectorized QC sums for one session segment of the batch."""
+        ts = seg["ts_us"].to_numpy(dtype=np.int64)
+        wc = seg["word_count"].to_numpy(dtype=np.int64)
+        roles = "\x1f".join(dict.fromkeys(str(r) for r in seg["role"]))
+        return (
+            int(ts.min()), int(ts.max()), int(len(seg)),
+            bool(seg["has_tool"].any()), bool(seg["violated"].any()),
+            int(seg["is_s1"].sum()), int(wc.sum()), int(wc.min()), int(wc.max()),
+            int(seg["inaudible_count"].sum()), int(seg["questionable_count"].sum()),
+            int(seg["other_bracketed_words"].sum()), int(seg["redactions"].sum()),
+            float(seg["nonverbal_edits"].sum()), float(seg["verbal_edits"].sum()),
+            float(seg["repeats"].sum()), float(seg["restarts"].sum()),
+            bool(seg["is_ascii"].all()), roles,
         )
-        self.pairs.appendValue((int(r.ts_us), int(r.word_count)))
 
-    def _seen(self, idx: int) -> bool:
-        """First-arrival dedup via the turn_idx HWM + count-min sketch."""
-        if self.dedup.exists():
-            hwm, sketch = self.dedup.get()
-            sketch = np.array(sketch, dtype=np.int64)
+    @staticmethod
+    def _merge_agg(a: tuple, b: tuple) -> tuple:
+        roles = list(a[18].split("\x1f")) if a[18] else []
+        for r in b[18].split("\x1f") if b[18] else []:
+            if r not in roles:
+                roles.append(r)
+        return (
+            min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2],
+            a[3] or b[3], a[4] or b[4],
+            a[5] + b[5], a[6] + b[6], min(a[7], b[7]), max(a[8], b[8]),
+            a[9] + b[9], a[10] + b[10], a[11] + b[11], a[12] + b[12],
+            a[13] + b[13], a[14] + b[14], a[15] + b[15], a[16] + b[16],
+            a[17] and b[17], "\x1f".join(roles),
+        )
+
+    @staticmethod
+    def _seg_pairs(seg: pd.DataFrame) -> list[tuple[int, int]]:
+        return [
+            (int(t), int(w))
+            for t, w in zip(
+                seg["ts_us"].to_numpy(dtype=np.int64),
+                seg["word_count"].to_numpy(dtype=np.int64),
+            )
+        ]
+
+    def _dedup_batch(self, idx: np.ndarray) -> np.ndarray:
+        """EXACT first-delivery keep-mask over the (ts, turn_idx)-sorted
+        batch. State: HWM + missing-gap MapState, O(#dropped turns) — turn
+        indices are per-conversation sequence numbers, so gaps below the
+        watermark are rare and the map stays tiny. keep iff first in-batch
+        occurrence AND (above HWM, i.e. provably new, OR fills a known gap
+        = legitimate out-of-order arrival). Everything else is a
+        re-delivery."""
+        hwm = int(self.hwm.get()[0]) if self.hwm.exists() else -1
+        if self.missing.exists():
+            missing = np.array([int(k[0]) for k in self.missing.keys()], dtype=np.int64)
         else:
-            hwm, sketch = -1, np.zeros(SKETCH_D * SKETCH_W, dtype=np.int64)
-        pos = (idx * _PRIMES[:SKETCH_D] + 17) % SKETCH_W
-        slots = np.arange(SKETCH_D) * SKETCH_W + pos
-        if idx <= hwm and sketch[slots].min() > 0:
-            return True
-        sketch[slots] += 1
-        self.dedup.update((int(max(hwm, idx)), [int(x) for x in sketch]))
-        return False
+            missing = np.empty(0, dtype=np.int64)
+        first_occ = ~pd.Series(idx).duplicated(keep="first").to_numpy()
+        keep = first_occ & ((idx > hwm) | np.isin(idx, missing))
+        kept = idx[keep]
+        if kept.size == 0:
+            return keep
+        for g in np.intersect1d(missing, kept):
+            self.missing.removeKey((int(g),))
+        new_hwm = max(hwm, int(idx.max()))
+        if new_hwm > hwm:
+            # gaps tracked from index 1: reference turn indices are 1-based
+            # sequence numbers (datagen turn_counter starts at 1)
+            new_gaps = np.setdiff1d(
+                np.arange(max(hwm + 1, 1), new_hwm + 1, dtype=np.int64), kept
+            )
+            for g in new_gaps:
+                self.missing.updateValue((int(g),), (1,))
+            self.hwm.update((int(new_hwm),))
+        return keep
 
     # -- the keyed pass ------------------------------------------------------
     def handleInputRows(self, key, rows, timerValues):
+        """Vectorized: numpy dedup mask -> session segmentation by ts diffs
+        (with open-session carry-in) -> per-segment aggregate. Interior
+        segments never touch state; the open session's ValueState/ListState
+        are read/written once per batch."""
         (conv_id,) = key
-        pdf = pd.concat(list(rows), ignore_index=True)
-        pdf = pdf.sort_values(["ts_us", "turn_idx"])
-        out = []
-        for r in pdf.itertuples():
-            if self._seen(int(r.turn_idx)):
-                continue  # re-delivery (verbatim duplicate)
-            if not self.agg.exists():
-                self._open(r)
-            else:
-                end_us = int(self.agg.get()[1])
-                if int(r.ts_us) - end_us > self.gap_us:
-                    out.append(self._flush(conv_id))  # close-on-next-event
-                    self._open(r)
+        chunks = [p for p in rows if len(p)]
+        out_rows: list[dict] = []
+        kept = pd.DataFrame()
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts_us", "turn_idx"], ignore_index=True)
+            keep = self._dedup_batch(pdf["turn_idx"].to_numpy(dtype=np.int64))
+            kept = pdf[keep]
+        if len(kept):
+            ts = kept["ts_us"].to_numpy(dtype=np.int64)
+            b = np.diff(ts) > self.gap_us  # candidate boundaries (ts sorted)
+            open_exists = self.agg.exists()
+            open_end = int(self.agg.get()[1]) if open_exists else None
+            if open_exists and int(ts[0]) - open_end > self.gap_us:
+                out_rows.append(self._flush(conv_id))  # close-on-next-event
+                open_exists = False
+            if open_exists:
+                # while merged with the open session the running end is
+                # max(open_end, prev ts): suppress candidate boundaries the
+                # open session's end keeps alive (out-of-order carry-in)
+                for i in np.nonzero(b)[0]:
+                    if int(ts[i + 1]) - open_end > self.gap_us:
+                        break
+                    b[i] = False
+            seg_id = np.concatenate(([0], np.cumsum(b)))
+            n_seg = int(seg_id[-1]) + 1
+            for s in range(n_seg):
+                seg = kept[seg_id == s]
+                agg = self._seg_agg(seg)
+                pairs = self._seg_pairs(seg)
+                last = s == n_seg - 1
+                if s == 0 and open_exists:
+                    merged = self._merge_agg(self._norm_agg(self.agg.get()), agg)
+                    if last:
+                        self.agg.update(merged)
+                        self.pairs.appendList(pairs)
+                    else:
+                        state_pairs = [(int(p[0]), int(p[1])) for p in self.pairs.get()]
+                        self.agg.clear()
+                        self.pairs.clear()
+                        out_rows.append(
+                            self._diary_row(conv_id, merged, state_pairs + pairs)
+                        )
+                elif last:
+                    self.agg.update(agg)
+                    self.pairs.put(pairs)  # fresh open session
                 else:
-                    self._extend(r)
+                    # pure in-batch session: aggregated and emitted without
+                    # ever transiting state
+                    out_rows.append(self._diary_row(conv_id, agg, pairs))
         # (re-)arm the tail timer: fire when watermark passes end + gap
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
         if self.agg.exists():
             end_ms = int(self.agg.get()[1]) // 1000
             self.handle.registerTimer(end_ms + self.gap_us // 1000)
-        if out:
-            yield pd.DataFrame(out)
+        out_rows = [r for r in out_rows if r is not None]
+        if out_rows:
+            yield pd.DataFrame(out_rows)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         (conv_id,) = key

@@ -240,16 +240,127 @@ def test_session_agg_state_carries_no_turn_payload(spark, stream_input, cfg):
 
 def _protobuf_available() -> bool:
     """transformWithStateInPandas spawns a python runner that requires
-    google.protobuf; this container ships a broken protobuf install
-    (ImportError: cannot import 'descriptor'), so the TWS integration test
-    is gated — the processor LOGIC is verified handle-free in
-    test_tws_processor_logic_matches_sessions."""
+    google.protobuf; this container has NO protobuf distribution on disk at
+    all (and installs are off-limits), so the TWS integration test is
+    env-gated — the processor LOGIC (dedup, segmentation, sums, timers) is
+    verified handle-free in the test_tws_* unit tests above."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+class FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = tuple(v)
+
+    def clear(self):
+        self.v = None
+
+
+class FakeListState(FakeValueState):
+    def __init__(self):
+        self.items = []
+
+    def exists(self):
+        return bool(self.items)
+
+    def get(self):
+        return iter(list(self.items))
+
+    def appendValue(self, v):
+        self.items.append(tuple(v))
+
+    def appendList(self, vs):
+        self.items.extend(tuple(v) for v in vs)
+
+    def put(self, vs):
+        self.items = [tuple(v) for v in vs]
+
+    def clear(self):
+        self.items = []
+
+
+class FakeMapState:
+    def __init__(self):
+        self.m = {}
+
+    def exists(self):
+        return bool(self.m)
+
+    def containsKey(self, k):
+        return tuple(k) in self.m
+
+    def getValue(self, k):
+        return self.m.get(tuple(k))
+
+    def updateValue(self, k, v):
+        self.m[tuple(k)] = tuple(v)
+
+    def removeKey(self, k):
+        self.m.pop(tuple(k), None)
+
+    def keys(self):
+        return iter(list(self.m.keys()))
+
+    def clear(self):
+        self.m = {}
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeValueState())
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeListState())
+
+    def getMapState(self, name, keySchema, valueSchema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeMapState())
+
+    def registerTimer(self, ts_ms):
+        self.timers.append(ts_ms)
+
+    def deleteTimer(self, ts_ms):
+        self.timers.remove(ts_ms)
+
+    def listTimers(self):
+        return iter(list(self.timers))
+
+
+def _tws_row(us_base, turn_idx, offset_s, wc=3, role="S1", violated=False):
+    return {
+        "ts_us": us_base + int(offset_s * 1e6),
+        "turn_idx": turn_idx,
+        "role": role,
+        "is_s1": 1 if role == "S1" else 0,
+        "has_tool": False,
+        "violated": violated,
+        "word_count": wc,
+        "inaudible_count": 1,
+        "questionable_count": 0,
+        "other_bracketed_words": 0,
+        "redactions": 0,
+        "nonverbal_edits": 1.0,
+        "verbal_edits": 0.0,
+        "repeats": 0.0,
+        "restarts": 0.0,
+        "is_ascii": True,
+    }
 
 
 def test_tws_processor_logic_matches_sessions(spark, cfg):
@@ -259,58 +370,6 @@ def test_tws_processor_logic_matches_sessions(spark, cfg):
     import numpy as np
 
     from daily_journal_dataflow_qc_spark.streaming.tws import SessionQcProcessor
-
-    class FakeValueState:
-        def __init__(self):
-            self.v = None
-
-        def exists(self):
-            return self.v is not None
-
-        def get(self):
-            return self.v
-
-        def update(self, v):
-            self.v = tuple(v)
-
-        def clear(self):
-            self.v = None
-
-    class FakeListState(FakeValueState):
-        def __init__(self):
-            self.items = []
-
-        def exists(self):
-            return bool(self.items)
-
-        def get(self):
-            return iter(list(self.items))
-
-        def appendValue(self, v):
-            self.items.append(tuple(v))
-
-        def clear(self):
-            self.items = []
-
-    class FakeHandle:
-        def __init__(self):
-            self.states = {}
-            self.timers = []
-
-        def getValueState(self, name, schema, ttlDurationMs=None):
-            return self.states.setdefault(name, FakeValueState())
-
-        def getListState(self, name, schema, ttlDurationMs=None):
-            return self.states.setdefault(name, FakeListState())
-
-        def registerTimer(self, ts_ms):
-            self.timers.append(ts_ms)
-
-        def deleteTimer(self, ts_ms):
-            self.timers.remove(ts_ms)
-
-        def listTimers(self):
-            return iter(list(self.timers))
 
     proc = SessionQcProcessor(gap_minutes=cfg.session_gap_minutes)
     handle = FakeHandle()
@@ -366,6 +425,59 @@ def test_tws_processor_logic_matches_sessions(spark, cfg):
     s2 = out3.iloc[0]
     assert s2["n_turns"] == 2 and s2["word_count"] == 6
     assert np.isclose(s2["min_timestamp_space_seconds"], 10.0)
+
+
+def test_tws_exact_dedup_keeps_late_turn_on_long_conversation(cfg):
+    """Regression for the lossy count-min dedup: after hundreds of distinct
+    turns the old sketch saturated and silently DELETED a legitimate
+    out-of-order gap-fill. The exact HWM+missing-gap state must keep it."""
+    from daily_journal_dataflow_qc_spark.streaming.tws import SessionQcProcessor
+
+    proc = SessionQcProcessor(gap_minutes=cfg.session_gap_minutes)
+    handle = FakeHandle()
+    proc.init(handle)
+    us = int(pd.Timestamp("2023-03-01 10:00:00").value // 1000)
+
+    # batch 1: 600 turns, idx 300 missing (a gap), 2s apart — one session
+    rows1 = [_tws_row(us, i, 2 * i) for i in range(1, 601) if i != 300]
+    assert list(proc.handleInputRows(("convL",), iter([pd.DataFrame(rows1)]), None)) == []
+    missing = handle.states["missing"]
+    assert set(missing.m) == {(300,)}
+
+    # batch 2: the gap-fill arrives out of order (ts inside the session) plus
+    # a re-delivery of idx 17 — the fill must be KEPT, the re-delivery dropped
+    rows2 = [_tws_row(us, 300, 600), _tws_row(us, 17, 34)]
+    assert list(proc.handleInputRows(("convL",), iter([pd.DataFrame(rows2)]), None)) == []
+    assert not missing.m  # gap filled exactly once
+    out = pd.concat(list(proc.handleExpiredTimer(("convL",), None, None)))
+    assert out.iloc[0]["n_turns"] == 600  # 599 + the late fill, dup excluded
+
+
+def test_tws_multi_session_batch_flushes_interior_segments(cfg):
+    """One micro-batch spanning three sessions: the two complete sessions
+    emit immediately (the interior one without touching state), the last
+    stays open."""
+    from daily_journal_dataflow_qc_spark.streaming.tws import SessionQcProcessor
+
+    proc = SessionQcProcessor(gap_minutes=cfg.session_gap_minutes)
+    handle = FakeHandle()
+    proc.init(handle)
+    us = int(pd.Timestamp("2023-03-01 08:00:00").value // 1000)
+
+    batch = pd.DataFrame(
+        [_tws_row(us, 1, 0), _tws_row(us, 2, 20, wc=7),
+         _tws_row(us, 3, 7200), _tws_row(us, 4, 7230),
+         _tws_row(us, 5, 14400)]
+    )
+    out = pd.concat(list(proc.handleInputRows(("convM",), iter([batch]), None)))
+    assert len(out) == 2
+    assert list(out["n_turns"]) == [2, 2]
+    assert out.iloc[0]["word_count"] == 10 and out.iloc[0]["min_timestamp_space_seconds"] == 20.0
+    assert out.iloc[1]["min_timestamp_space_seconds"] == 30.0
+    # last segment is the open session
+    assert handle.states["agg"].exists() and handle.states["agg"].get()[2] == 1
+    tail = pd.concat(list(proc.handleExpiredTimer(("convM",), None, None)))
+    assert tail.iloc[0]["n_turns"] == 1
 
 
 def test_tws_backend_matches_batch(spark, stream_input, synth_dir, cfg):
