@@ -30,6 +30,12 @@ class PipelineConfig:
     # pending-return deadline in days (journal_outputs_error_check.py:123)
     pending_deadline_days: int = 14
 
+    # S8 push lifecycle: the reference retries the SFTP connection up to 10
+    # times with a 5s backoff (journal_transcribeme_sftp_push.py:166-191);
+    # a submission whose attempts are exhausted without a round trip is
+    # flagged "TranscribeMe SFTP upload failed" (subject_summaries_update.sh:141)
+    max_push_attempts: int = 10
+
     # injected "today" for all age computations (never wall-clock; SURVEY §5.2)
     compute_date: _dt.date = field(default_factory=lambda: _dt.date(2023, 6, 1))
 

@@ -215,14 +215,29 @@ def generate(
                     _p = local_key.split("submission")
                     key = _p[0] + str(languages[ci]) + "_submission" + _p[1]
                     req_ts = utc_start + dt.timedelta(hours=1)
-                    tc_conv.append(conv)
-                    tc_key.append(key)
-                    tc_kind.append("request")
-                    tc_tool.append("transcribeme")
-                    tc_ts.append(req_ts)
-                    tc_payload.append(None)
+                    # S8 retry fixtures (journal_transcribeme_sftp_push.py:
+                    # 166-191): most pushes land on attempt 1; some retry
+                    # transiently (5s backoff between attempts); a few
+                    # exhaust all 10 attempts and never reach the tool
+                    # (upload-failed flag + clear path)
+                    r_att = crng.random()
+                    if r_att < 0.03:
+                        n_attempts, upload_failed = 10, True
+                    elif r_att < 0.10:
+                        n_attempts, upload_failed = int(crng.integers(2, 5)), False
+                    else:
+                        n_attempts, upload_failed = 1, False
+                    for a in range(n_attempts):
+                        tc_conv.append(conv)
+                        tc_key.append(key)
+                        tc_kind.append("request")
+                        tc_tool.append("transcribeme")
+                        tc_ts.append(req_ts + dt.timedelta(seconds=5 * a))
+                        tc_payload.append(None)
                     r = crng.random()
-                    if r < 0.85:  # normal return in 1-5 days
+                    if upload_failed:  # exhausted retries: nothing reached the tool
+                        ret_delay = -1.0
+                    elif r < 0.85:  # normal return in 1-5 days
                         ret_delay = float(crng.uniform(1, 5))
                     elif r < 0.90:  # late return (> 14-day deadline fixture)
                         ret_delay = float(crng.uniform(15, 20))
@@ -323,7 +338,7 @@ def generate_scaled(
 
 # bump when generation logic changes: busts the idempotency markers so stale
 # cached fixtures regenerate
-DATAGEN_VERSION = 2
+DATAGEN_VERSION = 3
 
 
 def write_parquet_scaled(

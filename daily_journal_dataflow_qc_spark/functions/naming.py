@@ -29,16 +29,16 @@ def with_language_marker(name: Column, language: Column) -> Column:
     """S10 push rename: insert ``<LANGUAGE>_`` before the first "submission".
 
     ``name.split("submission")[0] + language + "_submission" +
-    name.split("submission")[1]`` — verbatim reference formula. Names with
-    no "submission" segment pass through with the marker appended at the end
-    position the split produces (parts[1] null-safe to empty)."""
+    name.split("submission")[1]`` — verbatim reference formula for canonical
+    names. A name with NO "submission" segment passes through UNCHANGED
+    (the reference raises IndexError there — a malformed name never reaches
+    the push; passing through keeps the engine and the pandas oracle in
+    agreement instead of diverging silently, see oracle._tool_key)."""
     parts = F.split(name, "submission")
-    return F.concat(
-        parts.getItem(0),
-        language,
-        F.lit("_submission"),
-        F.coalesce(F.element_at(parts, 2), F.lit("")),
+    marked = F.concat(
+        parts.getItem(0), language, F.lit("_submission"), F.element_at(parts, 2)
     )
+    return F.when(F.size(parts) >= 2, marked).otherwise(name)
 
 
 def strip_language_marker(name: Column, language: Column) -> Column:

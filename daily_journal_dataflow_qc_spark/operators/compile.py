@@ -24,6 +24,8 @@ MSG_REQUEST_NO_QC = (
 )
 MSG_MISSING_REQUEST = "File should exist based on MindLAMP JSON data but no MP3 actually found"
 MSG_REDACTION_VIOLATION = "Redaction convention violated in file, please review manually"
+# S8 exhausted-retries flag (subject_summaries_update.sh:141, verbatim)
+MSG_UPLOAD_FAILED = "TranscribeMe SFTP upload failed"
 
 REJECTED_COLS = [
     "conv_id",
@@ -147,9 +149,18 @@ def issues_set(
     returns: DataFrame,
     violated_diaries: DataFrame,
     cfg: PipelineConfig,
+    tool_calls: DataFrame | None = None,
 ) -> DataFrame:
     """The major-issues log (flagged row set), deduped keeping the earliest
-    detection date (journal_outputs_error_check.py:199-214, O4)."""
+    detection date (journal_outputs_error_check.py:199-214, O4).
+
+    When the raw ``tool_calls`` stream is given, the S8 push lifecycle is
+    attempt-aware: a key with >= cfg.max_push_attempts request rows and no
+    return exhausted its retries (journal_transcribeme_sftp_push.py:166-191)
+    — it is flagged 'TranscribeMe SFTP upload failed' under its LOCAL name
+    (the file never left audio_to_send, subject_summaries_update.sh:127-143)
+    and is EXCLUDED from the pending / no-QC reconciliations, which track
+    files that actually reached the tool."""
     today = F.lit(cfg.compute_date_str)
     # tool-side reconciliation happens under the language-marked exchange
     # name (S10): requests/returns carry it from the SFTP side, so the
@@ -161,7 +172,31 @@ def issues_set(
         with_language_marker(F.col("filename"), F.col("language")).alias("request_key"),
     )
     req = requests.select("conv_id", "request_key", "ts")
+    req_all = req  # request EXISTENCE checks (orphan / missing-request)
     ret = returns.select("conv_id", "request_key")
+
+    upload_failed = None
+    if tool_calls is not None:
+        from ..functions.naming import strip_language_marker
+        from .transcript import push_attempt_stats
+
+        exhausted = push_attempt_stats(tool_calls).filter(
+            (~F.col("returned")) & (F.col("n_attempts") >= cfg.max_push_attempts)
+        ).select("conv_id", "request_key")
+        # reconciliations below track files that reached the tool — a never-
+        # uploaded file is neither pending nor accountable on the tool side
+        req = req.join(exhausted, ["conv_id", "request_key"], "left_anti")
+        # flag under the LOCAL name: the stuck file sits in audio_to_send
+        # before the S10 rename. Language comes from the conversation's QC
+        # rows; with none (e.g. consent missing) the marked key is kept —
+        # a documented fallback, the flag still identifies the submission.
+        conv_lang = audio_qc_df.select("conv_id", "language").distinct()
+        upload_failed = exhausted.join(F.broadcast(conv_lang), "conv_id", "left").select(
+            "conv_id",
+            strip_language_marker(F.col("request_key"), F.col("language")).alias(
+                "request_key"
+            ),
+        )
 
     def flag(df: DataFrame, stage: str, msg: str) -> DataFrame:
         return df.select(
@@ -182,7 +217,7 @@ def issues_set(
     )
     # J6: return with no request (orphan)
     orphan = flag(
-        ret.join(req, ["conv_id", "request_key"], "left_anti"),
+        ret.join(req_all, ["conv_id", "request_key"], "left_anti"),
         "pre-wav",
         MSG_ORPHAN_RETURN,
     )
@@ -203,7 +238,7 @@ def issues_set(
                 "request_key"
             ),
         )
-        .join(req, ["conv_id", "request_key"], "left_anti"),
+        .join(req_all, ["conv_id", "request_key"], "left_anti"),
         "pre-wav",
         MSG_MISSING_REQUEST,
     )
@@ -217,6 +252,10 @@ def issues_set(
     all_issues = pending.unionByName(orphan).unionByName(no_qc).unionByName(
         missing_req
     ).unionByName(violation)
+    if upload_failed is not None:
+        all_issues = all_issues.unionByName(
+            flag(upload_failed, "pre-transcript", MSG_UPLOAD_FAILED)
+        )
     # O4: keep-earliest dedup on the full issue identity
     w = Window.partitionBy(
         "conv_id", "filename", "file_stage", "error_message"

@@ -31,13 +31,73 @@ DIARY_KEY = ["conv_id", "session_id"]
 
 
 def dedup_tool_calls(tool_calls: DataFrame, kind: str) -> DataFrame:
-    """First-arrival per (conv_id, request_key) for one kind (request|return)."""
+    """First-arrival per (conv_id, request_key) for one kind (request|return).
+
+    Retried push attempts (S8: the reference re-tries the SFTP push up to 10
+    times, journal_transcribeme_sftp_push.py:166-191) are re-deliveries of
+    the same key and collapse here; the attempt-count lifecycle itself is
+    modeled by ``push_attempt_stats``."""
     w = Window.partitionBy("conv_id", "request_key").orderBy("ts")
     return (
         tool_calls.filter(F.col("kind") == kind)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def push_attempt_stats(tool_calls: DataFrame) -> DataFrame:
+    """S8 push-lifecycle rollup per (conv_id, request_key): attempt count,
+    first/last attempt time, and whether the round trip ever returned.
+
+    Graft of the reference's retry loop (journal_transcribeme_sftp_push.py:
+    166-191 — up to 10 connection attempts, 5 s backoff, per-file
+    ``sftp.exists`` idempotence): each request row is one push attempt; a
+    key whose attempts reach the max without a return is "still in
+    audio_to_send" and gets the upload-failed flag
+    (subject_summaries_update.sh:127-143). One aggregation over the
+    tool-call stream — scales as a plain keyed rollup."""
+    is_req = F.col("kind") == "request"
+    return tool_calls.groupBy("conv_id", "request_key").agg(
+        F.sum(is_req.cast("int")).cast("int").alias("n_attempts"),
+        F.min(F.when(is_req, F.col("ts"))).alias("first_attempt_ts"),
+        F.max(F.when(is_req, F.col("ts"))).alias("last_attempt_ts"),
+        F.max(F.col("kind") == "return").alias("returned"),
+    )
+
+
+def clear_resolved_push_errors(
+    issues_log: DataFrame, tool_calls: DataFrame, conv_language: DataFrame
+) -> DataFrame:
+    """Graft of manual_update_utilities/sftp_push_error_clear.py: remove
+    'TranscribeMe SFTP upload failed' rows whose file has since left the
+    upload queue (modeled: the key's round trip RETURNED after a later
+    successful push); every other issue row is kept verbatim — the
+    reference edits the persistent issues CSV in place, this is the same
+    edit expressed relationally.
+
+    ``conv_language``: (conv_id, language) — returns carry the language-
+    marked tool-side key (S10), the issues log carries the local name."""
+    from ..functions.naming import strip_language_marker
+
+    from .compile import MSG_UPLOAD_FAILED
+
+    resolved = (
+        tool_calls.filter(F.col("kind") == "return")
+        .select("conv_id", "request_key")
+        .join(F.broadcast(conv_language), "conv_id", "left")
+        .select(
+            "conv_id",
+            strip_language_marker(F.col("request_key"), F.col("language")).alias(
+                "filename"
+            ),
+        )
+        .distinct()
+    )
+    failed = issues_log.filter(F.col("error_message") == MSG_UPLOAD_FAILED)
+    rest = issues_log.filter(F.col("error_message") != MSG_UPLOAD_FAILED)
+    return rest.unionByName(
+        failed.join(resolved, ["conv_id", "filename"], "left_anti")
     )
 
 

@@ -74,9 +74,22 @@ def _normalize(text: str) -> str:
 
 def _tool_key(filename: str, language: str) -> str:
     """S10 push rename: the tool-side exchange name
-    (journal_transcribeme_sftp_push.py:177 formula, verbatim)."""
+    (journal_transcribeme_sftp_push.py:177 formula, verbatim). Names with no
+    "submission" segment pass through unchanged — same contract as
+    functions.naming.with_language_marker."""
     parts = filename.split("submission")
+    if len(parts) < 2:
+        return filename
     return parts[0] + language + "_submission" + parts[1]
+
+
+def _strip_tool_key(marked: str, language: str) -> str:
+    """S10 pull inverse (mirror of functions.naming.strip_language_marker)."""
+    m = f"{language}_submission"
+    i = marked.find(m)
+    if i < 0:
+        return marked
+    return marked[:i] + marked[i + len(language) + 1 :]
 
 
 # ------------------------------------------------------------- identity
@@ -441,10 +454,28 @@ def compute(
         MSG_PENDING,
         MSG_REDACTION_VIOLATION,
         MSG_REQUEST_NO_QC,
+        MSG_UPLOAD_FAILED,
     )
 
     today = cfg.compute_date
     issues_rows = []
+
+    # S8 attempt lifecycle: keys whose push retries are exhausted without a
+    # return never reached the tool — flagged upload-failed (local name),
+    # excluded from the pending / no-QC reconciliations
+    att = (
+        tool_calls[tool_calls["kind"] == "request"]
+        .groupby(["conv_id", "request_key"])
+        .size()
+    )
+    exhausted = {
+        k
+        for k, n in att.items()
+        if n >= cfg.max_push_attempts and k not in ret_keys
+    }
+    # language for the local-name strip comes from the conversation's QC rows
+    # (engine semantics: a conv with no audio-QC rows keeps the marked key)
+    _langs = dict(zip(dqc["conv_id"], dqc["expected_language"]))
 
     def add(conv, fname, stage, msg):
         issues_rows.append(
@@ -470,10 +501,15 @@ def compute(
     }
     for r in req.itertuples():
         k = (r.conv_id, r.request_key)
+        if k in exhausted:
+            continue  # never reached the tool: upload-failed, not pending/no-QC
         if k not in ret_keys and (today - pd.Timestamp(r.ts).date()).days >= cfg.pending_deadline_days:
             add(r.conv_id, r.request_key, "pre-transcript", MSG_PENDING)
         if k not in acc_keys:
             add(r.conv_id, r.request_key, "post-audioQC", MSG_REQUEST_NO_QC)
+    for c, k in sorted(exhausted):
+        add(c, _strip_tool_key(k, _langs.get(c, "")) if c in _langs else k,
+            "pre-transcript", MSG_UPLOAD_FAILED)
     for r in ret.itertuples():
         if (r.conv_id, r.request_key) not in req_keys:
             add(r.conv_id, r.request_key, "pre-wav", MSG_ORPHAN_RETURN)

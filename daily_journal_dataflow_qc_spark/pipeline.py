@@ -92,7 +92,7 @@ def run_batch(
     # final row sets
     accepted = compile_ops.accepted_set(qc, tqc, disf)
     rejected = compile_ops.rejected_set(qc)
-    issues = compile_ops.issues_set(qc, requests, returns, violated, cfg)
+    issues = compile_ops.issues_set(qc, requests, returns, violated, cfg, tool_calls=tool_calls)
 
     turn_stats_out = stats.select(
         "conv_id",
@@ -201,7 +201,7 @@ def run_batch_staged(
 
     accepted = compile_ops.accepted_set(qc, tqc, disf)
     rejected = compile_ops.rejected_set(qc)
-    issues = compile_ops.issues_set(qc, requests, returns, violated, cfg)
+    issues = compile_ops.issues_set(qc, requests, returns, violated, cfg, tool_calls=tool_calls)
 
     turn_stats_out = clean.select(
         "conv_id",

@@ -35,12 +35,47 @@ def timestamp_to_minutes(ts_str: Column) -> Column:
     return F.when(F.size(parts) == 3, three).otherwise(two)
 
 
+def drop_unparseable(parsed: DataFrame) -> DataFrame:
+    """P4 explicit null-row purge — graft of transcript_diary_qc.py:131
+    (``cur_trans.dropna(how='any')`` over speakerID/timefromstart/text):
+    the parser deliberately emits null rows for unparseable lines so they
+    are COUNTABLE, but QC must never see them. Null-safe filter pushes to
+    the scan; no shuffle."""
+    return parsed.na.drop(how="any", subset=["speakerID", "timefromstart", "text"])
+
+
+def transcript_rows_from_lines(
+    lines: DataFrame,
+    line_col: str = "value",
+    conv_col: str = "conv_id",
+    idx_col: str = "line_no",
+    base_ts_col: str = "base_ts",
+) -> DataFrame:
+    """S4 -> pipeline bridge: parse raw transcript lines, PURGE unparseable
+    rows (P4), and shape the survivors into the transcripts schema the QC
+    engine consumes (role = speakerID, event time = base_ts + the parsed
+    minutes offset)."""
+    parsed = drop_unparseable(parse_transcript_lines(lines, line_col))
+    return parsed.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("int").alias("turn_idx"),
+        F.col("speakerID").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.col(base_ts_col).cast("double") + F.col("minutes") * 60.0)
+        .cast("timestamp")
+        .alias("ts"),
+    )
+
+
 def parse_transcript_lines(
     df: DataFrame, line_col: str = "value"
 ) -> DataFrame:
     """One sentence row per parseable line; unparseable lines get null
     speakerID (the reference's bash loop would skip them). All input
-    columns other than ``line_col`` pass through (e.g. a line number)."""
+    columns other than ``line_col`` pass through (e.g. a line number).
+    Feed QC through ``drop_unparseable`` (P4) — null rows are for
+    accounting only."""
     line = normalize_line(F.col(line_col))
     speaker = F.regexp_extract(line, LINE_PATTERN, 1)
     stamp = F.regexp_extract(line, LINE_PATTERN, 2)

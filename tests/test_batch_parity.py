@@ -52,8 +52,13 @@ def test_rejected_parity(outputs, golden):
 def test_issues_parity(outputs, golden):
     got = outputs.issues.toPandas()
     assert len(got) > 0, "issues log empty — anomaly fixtures not firing"
-    # all five flag families must fire on the fixture data
-    assert golden["issues"]["error_message"].nunique() >= 4
+    # all six flag families must fire on the fixture data
+    assert golden["issues"]["error_message"].nunique() >= 5
+    from daily_journal_dataflow_qc_spark.operators.compile import MSG_UPLOAD_FAILED
+
+    assert MSG_UPLOAD_FAILED in set(golden["issues"]["error_message"]), (
+        "S8 exhausted-retries fixture not firing"
+    )
     compare_frames(
         got,
         golden["issues"],

@@ -108,3 +108,25 @@ def test_jvm_violation_predicate_matches_udf(spark):
     ]
     bad = [(s, w, g) for s, w, g in zip(samples, want, got) if w != g]
     assert not bad, f"{len(bad)} disagreements, first: {bad[:5]}"
+
+
+def test_language_marker_malformed_name_passthrough(spark):
+    """A name with NO 'submission' segment passes through UNCHANGED — and
+    the pandas oracle's _tool_key agrees (it used to IndexError while the
+    engine appended a dangling marker; both now treat the malformed name as
+    a no-op so they can never silently diverge)."""
+    from daily_journal_dataflow_qc_spark.oracle.pandas_oracle import _tool_key
+
+    df = spark.createDataFrame(
+        [("nomarker.wav", "ENGLISH"), (LOCAL, "ENGLISH")], "name string, lang string"
+    )
+    got = {
+        r["name"]: r["m"]
+        for r in df.select(
+            "name", with_language_marker(F.col("name"), F.col("lang")).alias("m")
+        ).collect()
+    }
+    assert got["nomarker.wav"] == "nomarker.wav"
+    assert got[LOCAL] == MARKED
+    assert _tool_key("nomarker.wav", "ENGLISH") == "nomarker.wav"
+    assert _tool_key(LOCAL, "ENGLISH") == MARKED

@@ -1,0 +1,110 @@
+"""S8 push retry/backoff lifecycle: attempt-count rollup, the exhausted-
+retries 'TranscribeMe SFTP upload failed' flag (reference retry loop
+journal_transcribeme_sftp_push.py:166-191 + subject_summaries_update.sh:
+127-143), and the clear path (manual_update_utilities/sftp_push_error_clear.py)."""
+
+import pandas as pd
+
+from daily_journal_dataflow_qc_spark import schemas
+from daily_journal_dataflow_qc_spark.operators.compile import (
+    MSG_PENDING,
+    MSG_UPLOAD_FAILED,
+    issues_set,
+)
+from daily_journal_dataflow_qc_spark.operators.transcript import (
+    clear_resolved_push_errors,
+    dedup_tool_calls,
+    push_attempt_stats,
+)
+
+LOCAL_1 = "c1_audioJournal_day0001_submission1.wav"
+MARKED_1 = "c1_audioJournal_day0001_ENGLISH_submission1.wav"
+LOCAL_3 = "c3_audioJournal_day0002_submission1.wav"
+MARKED_3 = "c3_audioJournal_day0002_ENGLISH_submission1.wav"
+
+
+def _tool_calls(spark):
+    rows = []
+    # c1: all 10 attempts fail (5s backoff), no return -> upload failed
+    for a in range(10):
+        rows.append(("c1", MARKED_1, "request", "transcribeme",
+                     pd.Timestamp("2023-03-01 10:00:00") + pd.Timedelta(seconds=5 * a), None))
+    # c2: transient retries then a round trip -> healthy
+    m2 = "c2_audioJournal_day0001_ENGLISH_submission1.wav"
+    for a in range(3):
+        rows.append(("c2", m2, "request", "transcribeme",
+                     pd.Timestamp("2023-03-02 09:00:00") + pd.Timedelta(seconds=5 * a), None))
+    rows.append(("c2", m2, "return", "transcribeme", pd.Timestamp("2023-03-04 09:00:00"), "body"))
+    # c3: single successful push, never returned, old -> pending
+    rows.append(("c3", MARKED_3, "request", "transcribeme", pd.Timestamp("2023-01-01 08:00:00"), None))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "request_key", "kind", "tool", "ts", "payload"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.tz_localize("UTC")
+    return spark.createDataFrame(pdf, schema=schemas.TOOL_CALLS)
+
+
+def _audio_qc(spark):
+    # minimal accepted-diary frame: marked(c1 filename) == the exhausted key
+    # so no missing-request flag muddies the assertions
+    return spark.createDataFrame(
+        [
+            ("c1", LOCAL_1, "ENGLISH", 1, True),
+            ("c3", LOCAL_3, "ENGLISH", 1, True),
+        ],
+        "conv_id string, filename string, language string, "
+        "audio_approved_bool int, has_tool_tag boolean",
+    )
+
+
+def test_push_attempt_stats(spark):
+    att = {r["conv_id"]: r for r in push_attempt_stats(_tool_calls(spark)).collect()}
+    assert att["c1"]["n_attempts"] == 10 and not att["c1"]["returned"]
+    assert att["c2"]["n_attempts"] == 3 and att["c2"]["returned"]
+    assert att["c3"]["n_attempts"] == 1 and not att["c3"]["returned"]
+    # 5s backoff span recorded on the lifecycle row
+    span = att["c1"]["last_attempt_ts"] - att["c1"]["first_attempt_ts"]
+    assert span.total_seconds() == 45.0
+
+
+def test_issues_upload_failed_replaces_pending(spark, cfg):
+    tc = _tool_calls(spark)
+    qc = _audio_qc(spark)
+    requests = dedup_tool_calls(tc, "request")
+    returns = dedup_tool_calls(tc, "return")
+    violated = spark.createDataFrame([], "conv_id string, filename string")
+    issues = issues_set(qc, requests, returns, violated, cfg, tool_calls=tc).toPandas()
+
+    failed = issues[issues.error_message == MSG_UPLOAD_FAILED]
+    assert set(zip(failed.conv_id, failed.filename)) == {("c1", LOCAL_1)}
+    assert (failed.file_stage == "pre-transcript").all()
+    pending = issues[issues.error_message == MSG_PENDING]
+    # c1 exhausted -> NOT pending (never reached the tool); c3 is pending
+    assert set(zip(pending.conv_id, pending.filename)) == {("c3", MARKED_3)}
+
+
+def test_clear_resolved_push_errors(spark, cfg):
+    tc = _tool_calls(spark)
+    qc = _audio_qc(spark)
+    requests = dedup_tool_calls(tc, "request")
+    returns = dedup_tool_calls(tc, "return")
+    violated = spark.createDataFrame([], "conv_id string, filename string")
+    issues = issues_set(qc, requests, returns, violated, cfg, tool_calls=tc)
+
+    # later stream state: c1's push finally succeeded and returned
+    fixed = pd.DataFrame(
+        [("c1", MARKED_1, "return", "transcribeme",
+          pd.Timestamp("2023-06-02 10:00:00", tz="UTC"), "body")],
+        columns=["conv_id", "request_key", "kind", "tool", "ts", "payload"],
+    )
+    tc2 = tc.unionByName(spark.createDataFrame(fixed, schema=schemas.TOOL_CALLS))
+    conv_lang = qc.select("conv_id", "language").distinct()
+
+    cleared = clear_resolved_push_errors(issues, tc2, conv_lang).toPandas()
+    assert MSG_UPLOAD_FAILED not in set(cleared.error_message)
+    # every other issue row survives verbatim
+    before = issues.toPandas()
+    rest = before[before.error_message != MSG_UPLOAD_FAILED]
+    assert len(cleared) == len(rest)
+
+    # an UNRESOLVED upload-failed row is kept
+    kept = clear_resolved_push_errors(issues, tc, conv_lang).toPandas()
+    assert (kept.error_message == MSG_UPLOAD_FAILED).sum() == 1

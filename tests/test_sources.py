@@ -127,3 +127,64 @@ def test_activity_engagement_summary_matches_pandas(spark):
     assert got_conv.loc["siteA_c1", "num_days_ema_submit"] == 2
     assert got_conv.loc["siteA_c1", "num_days_journal_submit"] == 1
     assert got_conv.loc["siteB_c3", "num_days_any_activity_submit"] == 0
+
+
+def test_p4_null_purge_through_full_qc(spark, cfg):
+    """P4 parity: unparseable transcript lines are parsed to null rows,
+    explicitly PURGED (transcript_diary_qc.py:131 dropna), and the full QC
+    pipeline's sentence counts exclude them — mirrored against pandas doing
+    read + dropna first."""
+    from daily_journal_dataflow_qc_spark import schemas
+    from daily_journal_dataflow_qc_spark.pipeline import run_batch
+    from daily_journal_dataflow_qc_spark.sources.transcript_text import (
+        drop_unparseable,
+        transcript_rows_from_lines,
+    )
+
+    raw = [
+        "S1\t00:05.000 hello there everyone",
+        "S1 00:15.000 second sentence here",
+        "garbage line with no timestamp",          # dropped
+        "S2 00:25.000 a third one",
+        ":::",                                     # dropped
+        "S1 00:35.000 final words now",
+    ]
+    import datetime as dt
+
+    base = dt.datetime(2023, 3, 5, 10, 0, 0)
+    lines = spark.createDataFrame(
+        [("convP", i + 1, base, l) for i, l in enumerate(raw)],
+        "conv_id string, line_no int, base_ts timestamp, value string",
+    )
+
+    parsed = parse_transcript_lines(lines, "value").toPandas()
+    assert parsed["speakerID"].isna().sum() == 2  # accountable before the purge
+    kept = drop_unparseable(spark.createDataFrame(parsed)).count()
+    assert kept == 4
+
+    transcripts = transcript_rows_from_lines(lines)
+    conv_meta = spark.createDataFrame(
+        [("convP", pd.Timestamp("2023-03-01").date(), "UTC", "ENGLISH", 60.0, 120.0, 0.2)],
+        "conv_id string, consent_date date, timezone string, language string, "
+        "db_level double, duration_sec double, flatness double",
+    )
+    # completed round trip so the transcript-QC side computes (marked key,
+    # day 5 = 2023-03-05 vs consent 2023-03-01, first submission)
+    marked = "convP_audioJournal_day0005_ENGLISH_submission1.wav"
+    tc = pd.DataFrame(
+        [
+            ("convP", marked, "request", "transcribeme",
+             pd.Timestamp("2023-03-05 11:00:00", tz="UTC"), None),
+            ("convP", marked, "return", "transcribeme",
+             pd.Timestamp("2023-03-06 11:00:00", tz="UTC"), "body"),
+        ],
+        columns=["conv_id", "request_key", "kind", "tool", "ts", "payload"],
+    )
+    tool_calls = spark.createDataFrame(tc, schema=schemas.TOOL_CALLS)
+    out = run_batch(transcripts, tool_calls, conv_meta, cfg)
+    tqc = out.transcript_qc.toPandas()
+    assert len(tqc) == 1
+    # pandas mirror: dropna first, then count sentences
+    pdf = parsed.dropna(subset=["speakerID", "timefromstart", "text"])
+    assert tqc.iloc[0]["total_sentence_count"] == len(pdf)
+    assert tqc.iloc[0]["S1_sentence_count"] == (pdf["speakerID"] == "S1").sum()
