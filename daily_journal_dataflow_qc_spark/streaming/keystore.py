@@ -12,15 +12,31 @@ Exactly-once: ingestion piggybacks on IdempotentBatchSink's atomic per-batch
 manifest, so a replayed batch neither re-ingests nor double-counts; files
 that appear between crash and replay are picked up by the next live batch.
 
-At 100-TB scale the store stays proportional to the number of DISTINCT keys
-(here: one row per tool-call round trip, ~1000x fewer than turns); periodic
-compaction of batch files into one sorted store is the standard follow-up.
+COMPACTION: one parquet per micro-batch is unbounded — a month of 1-minute
+triggers would re-open ~43k small files every batch. Every
+``compact_every`` live batches, the store folds all live batch files (plus
+the previous compacted store) into ONE sorted, deduplicated parquet,
+committed via an atomic compaction manifest that records which batch ids it
+supersedes and the union of ingested source files; superseded per-batch
+manifests/data are then deleted best-effort (a crash between commit and
+cleanup only leaves garbage that the next read ignores). Steady-state open
+file count is therefore O(compact_every), and the store itself stays
+proportional to the number of DISTINCT keys. At extreme key cardinality,
+drop the coalesce(1) and keep the compacted store hash-partitioned instead.
+
+Source-listing transactionality: a source file still being WRITTEN when the
+batch fires must not be half-read yet recorded as ingested. Files younger
+than ``stability_window_s`` (mtime) are deferred to the next batch; writers
+should additionally follow the temp-then-rename convention so a listed file
+is always complete.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,30 +44,71 @@ from .sink import IdempotentBatchSink
 
 
 class IncrementalKeyStore:
-    def __init__(self, root: str, name: str):
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        compact_every: int = 16,
+        stability_window_s: float = 2.0,
+    ):
         self.sink = IdempotentBatchSink(root, name)
+        self.compact_every = compact_every
+        self.stability_window_s = stability_window_s
+
+    # ------------------------------------------------------------ manifests
+    def _load_manifests(self, prefix: str) -> list[dict]:
+        out = []
+        for m in sorted(os.listdir(self.sink.manifest_dir)):
+            if not (m.startswith(prefix) and m.endswith(".json")):
+                continue
+            try:
+                out.append(json.load(open(os.path.join(self.sink.manifest_dir, m))))
+            except (json.JSONDecodeError, OSError):
+                continue  # uncommitted/truncated manifest: ignored
+        return out
+
+    def _latest_compaction(self) -> dict | None:
+        comps = self._load_manifests("compaction-")
+        if not comps:
+            return None
+        return max(comps, key=lambda c: c["batch_id"])
+
+    def _live_batches(self) -> list[dict]:
+        """Committed per-batch manifests not superseded by the newest
+        compaction (each compaction folds in all prior ones)."""
+        comp = self._latest_compaction()
+        covered = set(comp["covers"]) if comp else set()
+        return [
+            m for m in self._load_manifests("batch-") if m["batch_id"] not in covered
+        ]
 
     def _ingested_files(self) -> set[str]:
         files: set[str] = set()
-        mdir = self.sink.manifest_dir
-        for m in os.listdir(mdir):
-            if not (m.startswith("batch-") and m.endswith(".json")):
-                continue
-            try:
-                files.update(json.load(open(os.path.join(mdir, m))).get("files", []))
-            except (json.JSONDecodeError, OSError):
-                continue  # uncommitted/truncated manifest: not ingested
+        comp = self._latest_compaction()
+        if comp:
+            files.update(comp.get("files", []))
+        for m in self._load_manifests("batch-"):
+            files.update(m.get("files", []))
         return files
 
-    @staticmethod
-    def _list_parquet(src_dir: str) -> list[str]:
+    # ------------------------------------------------------------- ingest
+    def _list_parquet(self, src_dir: str) -> list[str]:
         if not os.path.isdir(src_dir):
             return []
-        return sorted(
-            os.path.join(src_dir, f)
-            for f in os.listdir(src_dir)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
+        cutoff = time.time() - self.stability_window_s
+        out = []
+        for f in sorted(os.listdir(src_dir)):
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            p = os.path.join(src_dir, f)
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    out.append(p)
+                # else: possibly still being written — deferred to the next
+                # batch (it is NOT recorded as ingested)
+            except OSError:
+                continue
+        return out
 
     def ingest(
         self,
@@ -63,7 +120,8 @@ class IncrementalKeyStore:
     ) -> None:
         """Ingest files of ``src_dir`` not yet seen; ``project`` maps the raw
         DataFrame to the compact key frame to store. No-op on replayed
-        batches (manifest already committed)."""
+        batches (manifest already committed). Triggers compaction when the
+        live batch-file count reaches ``compact_every``."""
         if self.sink.committed(batch_id):
             return
         new = [f for f in self._list_parquet(src_dir) if f not in self._ingested_files()]
@@ -72,7 +130,64 @@ class IncrementalKeyStore:
         else:
             keys = project(spark.createDataFrame([], schema)).limit(0)
         self.sink.write(keys, batch_id, extra={"files": new})
+        self._maybe_compact(spark, batch_id)
 
+    # ---------------------------------------------------------- compaction
+    def _maybe_compact(self, spark: SparkSession, batch_id: int) -> None:
+        live = self._live_batches()
+        if len(live) < self.compact_every:
+            return
+        comp = self._latest_compaction()
+        paths = ([comp["path"]] if comp else []) + [m["path"] for m in live]
+        files: set[str] = set(comp.get("files", [])) if comp else set()
+        for m in live:
+            files.update(m.get("files", []))
+        df = spark.read.parquet(*paths).distinct()
+        cols = df.columns
+        out = os.path.join(self.sink.dir, f"compact_id={batch_id}")
+        # one sorted store file: the key set is compact by construction
+        df.coalesce(1).sortWithinPartitions(*cols).write.mode("overwrite").parquet(out)
+        manifest = {
+            "batch_id": batch_id,
+            "path": out,
+            "covers": sorted(
+                ({int(b) for b in comp["covers"]} if comp else set())
+                | {int(m["batch_id"]) for m in live}
+            ),
+            "files": sorted(files),
+        }
+        target = os.path.join(self.sink.manifest_dir, f"compaction-{batch_id}.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, target)  # COMMIT — everything below is cleanup
+        for m in live:
+            try:
+                os.remove(
+                    os.path.join(self.sink.manifest_dir, f"batch-{m['batch_id']}.json")
+                )
+            except OSError:
+                pass
+            shutil.rmtree(m["path"], ignore_errors=True)
+        if comp:
+            try:
+                os.remove(
+                    os.path.join(
+                        self.sink.manifest_dir, f"compaction-{comp['batch_id']}.json"
+                    )
+                )
+            except OSError:
+                pass
+            shutil.rmtree(comp["path"], ignore_errors=True)
+
+    # --------------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
-        """Accumulated distinct key set across all committed batches."""
-        return self.sink.read(spark).distinct()
+        """Accumulated distinct key set: newest compacted store + live
+        batch files."""
+        comp = self._latest_compaction()
+        paths = ([comp["path"]] if comp else []) + [m["path"] for m in self._live_batches()]
+        if not paths:
+            raise FileNotFoundError(f"no committed batches in {self.sink.dir}")
+        return spark.read.parquet(*paths).distinct()
