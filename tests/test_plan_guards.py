@@ -1,0 +1,71 @@
+"""Plan-regression guards: pin the physical-plan shape of the flagship
+heavy pass so future edits cannot silently reintroduce a shuffle, a
+sort-merge join, or a second Python pass (ARCHITECTURE.md's "one conv_id
+exchange + broadcast joins" claim, measured ~20% of heavy-pass wall when
+violated)."""
+
+from daily_journal_dataflow_qc_spark.operators import diaries as diary_ops
+from daily_journal_dataflow_qc_spark.operators import transcript as transcript_ops
+from daily_journal_dataflow_qc_spark.pipeline import load_inputs
+
+
+def _staged_heavy_pass(spark, synth_dir, cfg):
+    transcripts, tool_calls, conv_meta = load_inputs(spark, synth_dir)
+    turns = diary_ops.dedup_turns(transcripts)
+    sessioned = diary_ops.sessionize(turns, cfg)
+    diaries = diary_ops.diary_identity(sessioned, conv_meta, cfg)
+    qc = diary_ops.audio_qc(diaries, cfg)
+    requests = transcript_ops.dedup_tool_calls(tool_calls, "request")
+    returns = transcript_ops.dedup_tool_calls(tool_calls, "return")
+    returned = transcript_ops.returned_accepted_diaries(qc, requests, returns)
+    joined = transcript_ops.attach_diaries(sessioned, returned)
+    red = transcript_ops.redact_projection(transcript_ops.gap_stats(joined))
+    return transcript_ops.text_stats(red).drop("text_lc")
+
+
+def test_staged_heavy_pass_plan_shape(spark, synth_dir, cfg):
+    plan = _staged_heavy_pass(spark, synth_dir, cfg)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+
+    shuffles = [
+        l.strip() for l in lines if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    # The pinned shuffle budget of the heavy pass:
+    #   1. conv_id        — THE turn-table exchange (dedup + sessionize +
+    #                        gap windows + rollups all reuse it)
+    #   2. conv_id        — the diary/audio-QC branch re-derives sessionize
+    #                        for the broadcast side (tiny: diary-level rows;
+    #                        the bench plan persists qc so this runs once)
+    #   3-4. (conv_id, request_key) — the two tool-call dedup windows over
+    #                        the (small) tool_calls table
+    # Anything beyond these means a window/join stopped reusing the conv_id
+    # partitioning — e.g. a UDF placed below a window (ArrowEvalPython drops
+    # partitioning) or a lost broadcast hint.
+    assert len(shuffles) <= 4, "unexpected extra shuffle(s):\n" + "\n".join(shuffles)
+    conv_only = [s for s in shuffles if "request_key" not in s]
+    assert len(conv_only) <= 2, "turn-table exchanged more than twice:\n" + "\n".join(conv_only)
+
+    # all joins in the heavy pass must broadcast (diary side is 10-1000x
+    # smaller than the turn stream) — a SortMergeJoin would re-sort the
+    # full-width turn rows
+    assert "SortMergeJoin" not in plan, "sort-merge join crept into the heavy pass"
+
+    # exactly ONE Python boundary: the redaction UDF, placed after every
+    # window (a second ArrowEvalPython means a metric left the JVM)
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
+
+
+def test_session_aggregate_is_partial(spark, synth_dir, cfg):
+    """Diary rollups must plan as partial_/merge_ hash aggregates (map-side
+    combine), never a bare complete-mode aggregate after a fresh exchange."""
+    transcripts, tool_calls, conv_meta = load_inputs(spark, synth_dir)
+    turns = diary_ops.dedup_turns(transcripts)
+    sessioned = diary_ops.sessionize(turns, cfg)
+    diaries = diary_ops.diary_identity(sessioned, conv_meta, cfg)
+    plan = diaries._jdf.queryExecution().executedPlan().toString()
+    # the identity aggregate reuses the sessionize partitioning: no NEW
+    # exchange may sit between the session window and the groupBy
+    n_shuffles = sum(
+        1 for l in plan.splitlines() if "Exchange" in l and "BroadcastExchange" not in l
+    )
+    assert n_shuffles <= 1, plan
