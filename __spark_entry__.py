@@ -782,6 +782,36 @@ def q_flagship_events(spark, sf):
     )
 
 
+def q_push_lifecycle(spark, sf):
+    # S8 attempt lifecycle via operators.transcript.push_attempt_stats over a
+    # tool-call-shaped stream derived from events (clicks etc. = push
+    # attempts, purchases = returns, key = event_id bucket per user)
+    from daily_journal_dataflow_qc_spark.operators.transcript import (
+        push_attempt_stats,
+    )
+
+    ev = _t(spark, sf, "events")
+    tc = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.concat(F.lit("k"), F.pmod(F.col("event_id"), F.lit(50)).cast("string")).alias(
+            "request_key"
+        ),
+        F.when(F.col("event_type") == "purchase", "return")
+        .otherwise("request")
+        .alias("kind"),
+        F.col("ts"),
+    )
+    out = push_attempt_stats(tc)
+    return out.select(
+        "conv_id",
+        "request_key",
+        F.col("n_attempts").cast("long").alias("n_attempts"),
+        F.date_format("first_attempt_ts", "yyyy-MM-dd HH:mm:ss").alias("first_attempt"),
+        F.date_format("last_attempt_ts", "yyyy-MM-dd HH:mm:ss").alias("last_attempt"),
+        "returned",
+    )
+
+
 def q_cube_rollup(spark, sf):
     # grouping-sets aggregation (monitoring rollup; SURVEY §2.4 optional)
     ev = _t(spark, sf, "events")
@@ -845,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_summary": q_activity_summary,
         "activity_group_counts": q_activity_group_counts,
         "flagship_events": q_flagship_events,
+        "push_lifecycle": q_push_lifecycle,
         "cube_rollup": q_cube_rollup,
     }
 
@@ -1078,6 +1109,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (40.0 + (user_id % 30)) < 50.0 OR n_turns * 7.0 < 1.0
                              OR submission > 1 THEN 0 ELSE 1 END AS BIGINT) AS audio_approved_bool
             FROM ranked
+        """,
+        "push_lifecycle": """
+            SELECT conv_id, request_key,
+                   CAST(sum(CASE WHEN kind = 'request' THEN 1 ELSE 0 END) AS BIGINT) AS n_attempts,
+                   strftime(min(CASE WHEN kind = 'request' THEN ts END), '%Y-%m-%d %H:%M:%S') AS first_attempt,
+                   strftime(max(CASE WHEN kind = 'request' THEN ts END), '%Y-%m-%d %H:%M:%S') AS last_attempt,
+                   bool_or(kind = 'return') AS returned
+            FROM (
+                SELECT 'conv' || CAST(user_id AS VARCHAR) AS conv_id,
+                       'k' || CAST(event_id % 50 AS VARCHAR) AS request_key,
+                       CASE WHEN event_type = 'purchase' THEN 'return' ELSE 'request' END AS kind,
+                       ts
+                FROM events
+            ) GROUP BY conv_id, request_key
         """,
         "cube_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type,
