@@ -812,6 +812,158 @@ def q_push_lifecycle(spark, sf):
     )
 
 
+def q_activity_scan(spark, sf):
+    # S1 nested activity-JSON scan: payloads constructed deterministically
+    # from events, parsed with the REAL from_json+explode operator
+    # (sources/activity_json.py), rolled into the accounting shape; the
+    # oracle computes the same per-file counts relationally
+    from daily_journal_dataflow_qc_spark.sources.activity_json import (
+        accounting_rows,
+        parse_activity_json,
+    )
+
+    ev = _t(spark, sf, "events")
+    obj = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.format_string(
+                '{"timestamp": %d, "static_data": {"url": "SOUND_%d"}}',
+                F.unix_millis(F.col("ts").cast("timestamp")),
+                F.pmod(F.col("event_id"), F.lit(100)),
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.format_string('{"timestamp": %d, "static_data": {}}', F.unix_millis(F.col("ts").cast("timestamp"))),
+        )
+        .when(F.col("event_type") == "error", F.lit('{"static_data": {}}'))
+        .otherwise(F.format_string('{"timestamp": %d}', F.unix_millis(F.col("ts").cast("timestamp"))))
+    )
+    files = ev.groupBy(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(".json")).alias(
+            "json_filename"
+        )
+    ).agg(
+        F.concat(F.lit("["), F.array_join(F.collect_list(obj), ","), F.lit("]")).alias(
+            "payload"
+        )
+    )
+    return accounting_rows(parse_activity_json(files))
+
+
+def q_snapshot_latest(spark, sf):
+    # S7/O2/O5 replace-latest snapshot dedup + U4 schema-aligned union of
+    # two drifted slices (operators/snapshots.union_align)
+    from daily_journal_dataflow_qc_spark.operators.snapshots import union_align
+
+    ev = _t(spark, sf, "events")
+    cond = F.col("event_type").isin("click", "purchase")
+    a = ev.filter(cond).select("user_id", "event_id", "event_type", "ts", "value")
+    b = ev.filter(~cond).select("user_id", "event_id", "ts")  # drifted schema
+    u = union_align(a, b)
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.col("event_id").alias("last_event_id"),
+            "event_type",
+            F.round("value", 2).alias("v"),
+        )
+    )
+
+
+def q_pending_age(spark, sf):
+    # T6 elapsed days vs the injected compute date + T8 week bucketing
+    ev = _t(spark, sf, "events")
+    last = ev.groupBy("user_id").agg(F.max(F.to_date("ts")).alias("last_d"))
+    age = F.datediff(F.to_date(F.lit("1998-06-01")), F.col("last_d"))
+    return last.select(
+        "user_id",
+        "last_d",
+        age.cast("long").alias("days_since_last"),
+        F.floor(age / 7).cast("long").alias("weeks_since_last"),
+        (age >= 14).alias("is_stale"),
+    )
+
+
+def q_encoding_class(spark, sf):
+    # F13 encoding classification: the engine's is_ascii rlike + encoding
+    # label (streaming/job.py turn_projection); oracle checks via the
+    # equivalent byte-length == char-length invariant
+    d = _t(spark, sf, "documents")
+    txt = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.concat(F.col("text"), F.lit(" café"))
+    ).otherwise(F.col("text"))
+    is_ascii = txt.rlike("^[\\x00-\\x7F]*$")
+    return d.select(
+        "doc_id",
+        is_ascii.alias("all_ascii"),
+        F.when(is_ascii, "ASCII").otherwise("UTF-8").alias("txt_encoding_type"),
+    )
+
+
+def q_disfluency_rates(spark, sf):
+    # A8 disfluency-summary shape + M4 safe-divide rates, per source
+    d = _t(spark, sf, "documents")
+    lc = F.lower(F.col("text"))
+    per_doc = d.select(
+        "source",
+        TM.word_count(lc).alias("wc"),
+        TM.nonverbal_edits(lc).alias("nv"),
+        TM.verbal_edits(lc).alias("ve"),
+        TM.restarts(lc).alias("rs"),
+        TM.word_repeats(lc).alias("wr"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("wc").cast("double").alias("total_word_count"),
+        F.sum("nv").cast("double").alias("nonverbal_edits_count"),
+        F.sum("ve").cast("double").alias("verbal_edits_count"),
+        F.sum("rs").cast("double").alias("restarts_count"),
+        F.sum("wr").cast("double").alias("repeats_count"),
+    )
+    def rate(num):  # M4: divide-by-zero -> null, not NaN/error
+        return F.round(
+            F.when(F.col("total_word_count") != 0, F.col(num) / F.col("total_word_count")),
+            6,
+        )
+    return agg.select(
+        "source",
+        "total_word_count",
+        "nonverbal_edits_count",
+        "verbal_edits_count",
+        "restarts_count",
+        "repeats_count",
+        rate("nonverbal_edits_count").alias("nonverbal_per_word"),
+        rate("verbal_edits_count").alias("verbal_per_word"),
+        rate("restarts_count").alias("restarts_per_word"),
+        rate("repeats_count").alias("repeats_per_word"),
+    )
+
+
+def q_salted_counts(spark, sf):
+    # skew-safe two-phase salted aggregate (operators/skew.salted_agg):
+    # identical result set to a plain groupBy — which is exactly what the
+    # oracle computes
+    from daily_journal_dataflow_qc_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs={"n_p": F.count("*"), "v_p": F.sum("value")},
+        final_aggs={
+            "n": F.sum("n_p").cast("long"),
+            "v": F.round(F.sum("v_p"), 2),
+        },
+        salt_on="event_id",
+    )
+
+
 def q_cube_rollup(spark, sf):
     # grouping-sets aggregation (monitoring rollup; SURVEY §2.4 optional)
     ev = _t(spark, sf, "events")
@@ -876,6 +1028,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_group_counts": q_activity_group_counts,
         "flagship_events": q_flagship_events,
         "push_lifecycle": q_push_lifecycle,
+        "activity_scan": q_activity_scan,
+        "snapshot_latest": q_snapshot_latest,
+        "pending_age": q_pending_age,
+        "encoding_class": q_encoding_class,
+        "disfluency_rates": q_disfluency_rates,
+        "salted_counts": q_salted_counts,
         "cube_rollup": q_cube_rollup,
     }
 
@@ -1109,6 +1267,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (40.0 + (user_id % 30)) < 50.0 OR n_turns * 7.0 < 1.0
                              OR submission > 1 THEN 0 ELSE 1 END AS BIGINT) AS audio_approved_bool
             FROM ranked
+        """,
+        "activity_scan": """
+            SELECT 'u' || CAST(user_id AS VARCHAR) || '.json' AS json_filename,
+                   CAST(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS BIGINT) AS number_of_records,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS diary_records_count,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ema_records_count
+            FROM events GROUP BY user_id
+        """,
+        "snapshot_latest": """
+            WITH u AS (
+                SELECT user_id, event_id, event_type, ts, value FROM events
+                WHERE event_type IN ('click', 'purchase')
+                UNION ALL
+                SELECT user_id, event_id, CAST(NULL AS VARCHAR), ts, CAST(NULL AS DOUBLE)
+                FROM events WHERE event_type NOT IN ('click', 'purchase')
+            )
+            SELECT user_id, d, event_id AS last_event_id, event_type, round(value, 2) AS v
+            FROM (
+                SELECT *, CAST(ts AS DATE) AS d,
+                       row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM u
+            ) WHERE rn = 1
+        """,
+        "pending_age": """
+            SELECT user_id, last_d,
+                   CAST(date_diff('day', last_d, DATE '1998-06-01') AS BIGINT) AS days_since_last,
+                   CAST(floor(date_diff('day', last_d, DATE '1998-06-01') / 7.0) AS BIGINT) AS weeks_since_last,
+                   date_diff('day', last_d, DATE '1998-06-01') >= 14 AS is_stale
+            FROM (SELECT user_id, max(CAST(ts AS DATE)) AS last_d FROM events GROUP BY user_id)
+        """,
+        "encoding_class": """
+            SELECT doc_id,
+                   octet_length(encode(t)) = length(t) AS all_ascii,
+                   CASE WHEN octet_length(encode(t)) = length(t)
+                        THEN 'ASCII' ELSE 'UTF-8' END AS txt_encoding_type
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0 THEN text || ' café' ELSE text END AS t
+                  FROM documents)
+        """,
+        "disfluency_rates": """
+            WITH m AS (
+                SELECT source,
+                       len(string_split(lower(text), ' ')) AS wc,
+                       len(regexp_extract_all(
+                           ' ' || array_to_string(string_split(lower(text), ' '), '  ') || ' ',
+                           '[^a-z]u+[hm]+[^a-z]')) AS nv,
+                       CAST((length(lower(text)) - length(replace(lower(text), 'like,', ''))) / 5 AS INT)
+                       + CAST((length(lower(text)) - length(replace(lower(text), 'you know,', ''))) / 9 AS INT)
+                       + CAST((length(lower(text)) - length(replace(lower(text), 'i mean,', ''))) / 7 AS INT) AS ve,
+                       CAST((length(lower(text)) - length(replace(lower(text), '--', ''))) / 2 AS INT) AS rs,
+                       coalesce(list_sum(list_transform(
+                           generate_series(2, len(string_split(lower(text), ' '))),
+                           i -> CASE WHEN replace(string_split(lower(text), ' ')[i-1], ',', '')
+                                        = replace(string_split(lower(text), ' ')[i], ',', '')
+                                     THEN 1 ELSE 0 END)), 0) AS wr
+                FROM documents
+            ), agg AS (
+                SELECT source,
+                       CAST(sum(wc) AS DOUBLE) AS total_word_count,
+                       CAST(sum(nv) AS DOUBLE) AS nonverbal_edits_count,
+                       CAST(sum(ve) AS DOUBLE) AS verbal_edits_count,
+                       CAST(sum(rs) AS DOUBLE) AS restarts_count,
+                       CAST(sum(wr) AS DOUBLE) AS repeats_count
+                FROM m GROUP BY source
+            )
+            SELECT source, total_word_count, nonverbal_edits_count, verbal_edits_count,
+                   restarts_count, repeats_count,
+                   round(nonverbal_edits_count / nullif(total_word_count, 0), 6) AS nonverbal_per_word,
+                   round(verbal_edits_count / nullif(total_word_count, 0), 6) AS verbal_per_word,
+                   round(restarts_count / nullif(total_word_count, 0), 6) AS restarts_per_word,
+                   round(repeats_count / nullif(total_word_count, 0), 6) AS repeats_per_word
+            FROM agg
+        """,
+        "salted_counts": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS v
+            FROM events GROUP BY event_type
         """,
         "push_lifecycle": """
             SELECT conv_id, request_key,
