@@ -124,25 +124,37 @@ def main() -> None:
     n_turns = spark.read.parquet(f"{bench_dir}/transcripts.parquet").count()
     transcripts, tool_calls, conv_meta = load_inputs(spark, bench_dir)
     staging_dir = os.path.join(scratch, f"djdq_staging_{os.getpid()}")
-    t0 = time.time()
-    if args.plan == "staged":
-        out = run_batch_staged(
-            spark, transcripts, tool_calls, conv_meta, staging_dir, PipelineConfig()
-        )
-    else:
-        from daily_journal_dataflow_qc_spark.pipeline import run_batch
-
-        out = run_batch(
-            transcripts, tool_calls, conv_meta, PipelineConfig(), persist_intermediates=True
-        )
-    # remaining sinks fan out CONCURRENTLY over the staged table + the small
-    # persisted diary frames
     from concurrent.futures import ThreadPoolExecutor
 
-    outputs = [out.accepted, out.rejected, out.issues, out.turn_stats]
-    with ThreadPoolExecutor(4) as pool:
-        list(pool.map(materialize, outputs))
-    pipeline_sec = time.time() - t0
+    def run_flagship() -> tuple[float, object]:
+        t0 = time.time()
+        if args.plan == "staged":
+            out = run_batch_staged(
+                spark, transcripts, tool_calls, conv_meta, staging_dir, PipelineConfig()
+            )
+        else:
+            from daily_journal_dataflow_qc_spark.pipeline import run_batch
+
+            out = run_batch(
+                transcripts, tool_calls, conv_meta, PipelineConfig(),
+                persist_intermediates=True,
+            )
+        # remaining sinks fan out CONCURRENTLY over the staged table + the
+        # small persisted diary frames
+        outputs = [out.accepted, out.rejected, out.issues, out.turn_stats]
+        with ThreadPoolExecutor(4) as pool:
+            list(pool.map(materialize, outputs))
+        return time.time() - t0, out
+
+    # best-of-N like the operator queries (single-run flagship numbers mix
+    # page-cache state of the freshly (re)generated input into the timing);
+    # clearCache between runs — the plan persists qc/rollup internally and
+    # CacheManager would otherwise serve run 2 from run 1's cache
+    pipeline_sec, out = run_flagship()
+    for _ in range(max(0, args.timed_runs - 1)):
+        spark.catalog.clearCache()
+        sec, out = run_flagship()
+        pipeline_sec = min(pipeline_sec, sec)
     # row counts (cheap: upstream stages are cached), outside the timing
     counts = {
         "accepted": out.accepted.count(),
