@@ -79,6 +79,8 @@ def main() -> None:
                     help="timed repetitions per operator query (best-of-N, after one untimed warm pass)")
     ap.add_argument("--replicas", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "20")))
     ap.add_argument("--base-convs", type=int, default=120)
+    ap.add_argument("--no-streaming", action="store_true",
+                    help="skip the Structured Streaming (availableNow) throughput section")
     args = ap.parse_args()
 
     from daily_journal_dataflow_qc_spark.config import PipelineConfig
@@ -187,6 +189,55 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
 
+    # ---- streaming tier: the SAME flagship semantics as a Structured
+    # Streaming job (projection -> watermarked dedup -> session_window agg ->
+    # foreachBatch identity/acceptance -> exactly-once sinks), driven
+    # availableNow over a multi-file copy of the bench input plus a
+    # far-future sentinel (closes every real session under the watermark).
+    # Single run: streaming wall includes checkpoint/sink commit overhead by
+    # design — that IS the streaming cost being measured.
+    streaming_tps = None
+    if not args.no_streaming and not args.flagship_only:
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        from daily_journal_dataflow_qc_spark.streaming.job import (
+            start_session_qc_query,
+        )
+
+        stream_in = os.path.join(bench_dir, "stream_transcripts")
+        marker = os.path.join(stream_in, "_READY_v1")
+        if not os.path.isfile(marker):
+            _shutil.rmtree(stream_in, ignore_errors=True)
+            tr = spark.read.parquet(f"{bench_dir}/transcripts.parquet")
+            tr.repartition(8, "conv_id").write.mode("overwrite").parquet(stream_in)
+            time.sleep(1.1)  # sentinel must carry a LATER mtime
+            sentinel = tr.limit(1).select(
+                F.lit("__sentinel__").alias("conv_id"),
+                F.lit(1).cast("int").alias("turn_idx"),
+                F.lit("S1").alias("role"),
+                F.lit("end").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.to_timestamp(F.lit("2090-01-01 00:00:00")).alias("ts"),
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(stream_in)
+            with open(marker, "w") as f:
+                f.write("ok")
+        out_root = os.path.join(scratch, f"djdq_stream_bench_{os.getpid()}")
+        shutil.rmtree(out_root, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+        conv_meta_df = spark.read.parquet(f"{bench_dir}/conv_meta.parquet")
+        t0 = time.time()
+        q, sinks = start_session_qc_query(
+            spark, stream_in, out_root, conv_meta_df, PipelineConfig()
+        )
+        q.awaitTermination(600)
+        streaming_sec = time.time() - t0
+        timings["streaming_qc"] = round(streaming_sec, 3)
+        streaming_tps = round(n_turns / streaming_sec, 1)
+        counts["streaming_audio_qc"] = sinks["audio_qc"].read(spark).count()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -198,6 +249,7 @@ def main() -> None:
                 "sf": sf,
                 "bench_turns": n_turns,
                 "turns_per_sec": round(turns_per_sec, 1),
+                "streaming_turns_per_sec": streaming_tps,
                 "pipeline_output_rows": counts,
                 "master": args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
             }
