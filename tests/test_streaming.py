@@ -453,6 +453,43 @@ def test_tws_exact_dedup_keeps_late_turn_on_long_conversation(cfg):
     assert out.iloc[0]["n_turns"] == 600  # 599 + the late fill, dup excluded
 
 
+def test_tws_exact_dedup_property(cfg):
+    """Property (hypothesis): across arbitrary batched delivery orders with
+    duplicates / out-of-order / gaps, the HWM+missing-gap dedup keeps a turn
+    iff it was NEVER delivered before — exactly a seen-set, in O(gaps)
+    state."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from daily_journal_dataflow_qc_spark.streaming.tws import SessionQcProcessor
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=1, max_value=40), max_size=30),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(batches):
+        proc = SessionQcProcessor(gap_minutes=cfg.session_gap_minutes)
+        proc.init(FakeHandle())
+        seen: set[int] = set()
+        for b in batches:
+            idx = np.array(b, dtype=np.int64)
+            if len(idx) == 0:
+                continue
+            keep = proc._dedup_batch(idx)
+            expect = []
+            for i in b:
+                expect.append(i not in seen)
+                seen.add(i)
+            assert list(keep) == expect, (b, list(keep), expect)
+
+    run()
+
+
 def test_tws_multi_session_batch_flushes_interior_segments(cfg):
     """One micro-batch spanning three sessions: the two complete sessions
     emit immediately (the interior one without touching state), the last
