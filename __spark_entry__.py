@@ -530,6 +530,15 @@ def q_lsh_bucketed_ann(spark, sf):
     from daily_journal_dataflow_qc_spark.operators.similarity import lsh_bucketed_knn
 
     e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").head()[0])
+    if dim != 64:
+        # the oracle embeds planes generated for dim=64; a different rng
+        # shape would silently regenerate a different matrix and every
+        # bucket would mismatch — fail with the cause instead
+        raise ValueError(
+            f"embeddings dim={dim} but _lsh_ann_oracle_sql embeds dim=64 "
+            "plane literals; regenerate the oracle for the new dimension"
+        )
     return lsh_bucketed_knn(e, n_planes=3, n_tables=16, seed=42)
 
 

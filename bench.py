@@ -206,8 +206,16 @@ def main() -> None:
             start_session_qc_query,
         )
 
+        from daily_journal_dataflow_qc_spark.datagen import DATAGEN_VERSION
+
         stream_in = os.path.join(bench_dir, "stream_transcripts")
-        marker = os.path.join(stream_in, "_READY_v1")
+        # marker carries the datagen version: a regenerated transcripts.parquet
+        # must invalidate the streaming copy too, or the throughput denominator
+        # (n_turns from the NEW file) would divide a wall time over OLD data
+        marker = os.path.join(
+            stream_in,
+            f"_READY_dg{DATAGEN_VERSION}_b{args.base_convs}_r{args.replicas}",
+        )
         if not os.path.isfile(marker):
             _shutil.rmtree(stream_in, ignore_errors=True)
             tr = spark.read.parquet(f"{bench_dir}/transcripts.parquet")
@@ -232,11 +240,18 @@ def main() -> None:
         q, sinks = start_session_qc_query(
             spark, stream_in, out_root, conv_meta_df, PipelineConfig()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         streaming_sec = time.time() - t0
-        timings["streaming_qc"] = round(streaming_sec, 3)
-        streaming_tps = round(n_turns / streaming_sec, 1)
-        counts["streaming_audio_qc"] = sinks["audio_qc"].read(spark).count()
+        if finished:
+            timings["streaming_qc"] = round(streaming_sec, 3)
+            streaming_tps = round(n_turns / streaming_sec, 1)
+            counts["streaming_audio_qc"] = sinks["audio_qc"].read(spark).count()
+        else:
+            # timed out: the wall time is a clamp, not a measurement — stop
+            # the query cleanly and report nothing rather than a bogus rate
+            q.stop()
+            q.awaitTermination(60)
+            counts["streaming_audio_qc"] = -1
 
     total = round(sum(timings.values()), 3)
     print(

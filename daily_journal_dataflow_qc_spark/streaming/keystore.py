@@ -25,10 +25,15 @@ proportional to the number of DISTINCT keys. At extreme key cardinality,
 drop the coalesce(1) and keep the compacted store hash-partitioned instead.
 
 Source-listing transactionality: a source file still being WRITTEN when the
-batch fires must not be half-read yet recorded as ingested. Files younger
-than ``stability_window_s`` (mtime) are deferred to the next batch; writers
-should additionally follow the temp-then-rename convention so a listed file
-is always complete.
+batch fires must not be half-read yet recorded as ingested. The primary
+contract is the temp-then-rename write convention (Spark's parquet writers
+already commit via rename, so a listed file is complete); for producers that
+write in place, ``stability_window_s`` defers files younger than the window
+(mtime) to the next batch. The window DEFAULTS TO 0: returned-gating is
+evaluated once per diary in the batch where its session closes, so deferring
+a return file can permanently exclude a diary from the transcript sinks —
+only enable the window for rename-less producers on continuously-triggered
+(not availableNow) streams, where the next batch genuinely retries.
 """
 
 from __future__ import annotations
@@ -49,7 +54,7 @@ class IncrementalKeyStore:
         root: str,
         name: str,
         compact_every: int = 16,
-        stability_window_s: float = 2.0,
+        stability_window_s: float = 0.0,
     ):
         self.sink = IdempotentBatchSink(root, name)
         self.compact_every = compact_every
@@ -120,11 +125,19 @@ class IncrementalKeyStore:
     ) -> None:
         """Ingest files of ``src_dir`` not yet seen; ``project`` maps the raw
         DataFrame to the compact key frame to store. No-op on replayed
-        batches (manifest already committed). Triggers compaction when the
+        batches — committed manifest OR an id superseded by a compaction
+        (compaction deletes per-batch manifests, so a checkpoint replay of a
+        covered batch must not re-run under a covered id: its keys would be
+        filtered by _live_batches and silently lost; new files are instead
+        picked up by the next LIVE batch). Triggers compaction when the
         live batch-file count reaches ``compact_every``."""
-        if self.sink.committed(batch_id):
+        comp = self._latest_compaction()
+        if self.sink.committed(batch_id) or (
+            comp and batch_id in set(comp["covers"])
+        ):
             return
-        new = [f for f in self._list_parquet(src_dir) if f not in self._ingested_files()]
+        ingested = self._ingested_files()
+        new = [f for f in self._list_parquet(src_dir) if f not in ingested]
         if new:
             keys = project(spark.read.schema(schema).parquet(*new)).distinct()
         else:

@@ -120,6 +120,10 @@ _PAIR_SCHEMA = T.StructType(
     ]
 )
 
+# largest tolerated single-advance of the turn-idx watermark: beyond this a
+# "gap run" is corrupt data, not dropped turns (see _dedup_batch guard)
+MAX_GAP_RUN = 1_000_000
+
 # exact dedup: turn_idx high-watermark (ValueState) + the set of missing
 # indices below it (MapState — one RocksDB entry per gap, O(1) fill/remove)
 _HWM_SCHEMA = T.StructType([T.StructField("hwm", T.LongType(), False)])
@@ -273,11 +277,19 @@ class SessionQcProcessor(StatefulProcessor):
             self.missing.removeKey((int(g),))
         new_hwm = max(hwm, int(idx.max()))
         if new_hwm > hwm:
-            # gaps tracked from index 1: reference turn indices are 1-based
-            # sequence numbers (datagen turn_counter starts at 1)
-            new_gaps = np.setdiff1d(
-                np.arange(max(hwm + 1, 1), new_hwm + 1, dtype=np.int64), kept
-            )
+            # guard the O(gaps) contract: turn indices are per-conversation
+            # SEQUENCE numbers, so a jump of millions is corrupt data — fail
+            # loudly (reference logs malformed inputs) instead of
+            # materializing an index-jump-sized gap range / MapState
+            lo = max(hwm + 1, 1)  # 1-based (datagen turn_counter starts at 1)
+            if new_hwm - lo > MAX_GAP_RUN:
+                raise ValueError(
+                    f"turn_idx jumped from hwm={hwm} to {new_hwm} "
+                    f"(> MAX_GAP_RUN={MAX_GAP_RUN}): corrupt turn index — "
+                    "the missing-gap dedup state tracks one entry per "
+                    "dropped turn and refuses unbounded jumps"
+                )
+            new_gaps = np.setdiff1d(np.arange(lo, new_hwm + 1, dtype=np.int64), kept)
             for g in new_gaps:
                 self.missing.updateValue((int(g),), (1,))
             self.hwm.update((int(new_hwm),))

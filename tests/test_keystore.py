@@ -70,10 +70,17 @@ def test_keystore_compaction_bounds_files_and_keeps_keys(spark):
     store.ingest(spark, SRC, n_batches - 1, schemas.TOOL_CALLS, _project)
     assert store.read(spark).count() == before
 
-    # a replay of a COMPACTED-AWAY batch id re-runs but re-ingests nothing
+    # a replay of a COMPACTED-AWAY batch id must be a FULL no-op: a new
+    # source file arriving just before the replay may NOT be ingested under
+    # a covered id (read() filters covered ids -> its keys would be lost
+    # forever while marked ingested)
+    _write_src(spark, 999)
     store.ingest(spark, SRC, 3, schemas.TOOL_CALLS, _project)
-    got2 = store.read(spark).toPandas()
-    assert len(got2) == before
+    assert store.read(spark).count() == before
+    # ...the next LIVE batch picks the file up instead
+    store.ingest(spark, SRC, n_batches, schemas.TOOL_CALLS, _project)
+    got3 = store.read(spark).toPandas()
+    assert "k999" in set(got3["_tool_key"]) and len(got3) == before + 1
 
 
 def test_keystore_defers_unstable_files(spark):

@@ -490,6 +490,24 @@ def test_tws_exact_dedup_property(cfg):
     run()
 
 
+def test_tws_dedup_rejects_corrupt_index_jump(cfg):
+    """The O(gaps) state contract is guarded: a turn_idx jump beyond
+    MAX_GAP_RUN is corrupt data and fails loudly instead of materializing
+    an index-jump-sized gap set."""
+    import numpy as np
+    import pytest as _pytest
+
+    from daily_journal_dataflow_qc_spark.streaming.tws import (
+        MAX_GAP_RUN,
+        SessionQcProcessor,
+    )
+
+    proc = SessionQcProcessor(gap_minutes=cfg.session_gap_minutes)
+    proc.init(FakeHandle())
+    with _pytest.raises(ValueError, match="MAX_GAP_RUN"):
+        proc._dedup_batch(np.array([1, MAX_GAP_RUN + 10], dtype=np.int64))
+
+
 def test_tws_multi_session_batch_flushes_interior_segments(cfg):
     """One micro-batch spanning three sessions: the two complete sessions
     emit immediately (the interior one without touching state), the last
