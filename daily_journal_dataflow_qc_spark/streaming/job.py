@@ -212,6 +212,14 @@ def compile_batch(diary_rows: DataFrame, conv_meta: DataFrame, cfg: PipelineConf
     )
 
 
+def _trigger_kwargs(trigger_seconds: float | None) -> dict:
+    """availableNow (drain-and-stop; default) vs a continuous
+    processing-time trigger — the deployed CEP mode."""
+    if trigger_seconds is None:
+        return {"availableNow": True}
+    return {"processingTime": f"{trigger_seconds} seconds"}
+
+
 def start_session_qc_query(
     spark: SparkSession,
     input_dir: str,
@@ -221,6 +229,7 @@ def start_session_qc_query(
     max_files_per_trigger: int | None = None,
     tool_calls_dir: str | None = None,
     backend: str = "session_window",
+    trigger_seconds: float | None = None,
 ):
     """Launch the diary-QC streaming query (availableNow trigger).
 
@@ -476,7 +485,7 @@ def start_session_qc_query(
         diary_stream.writeStream.outputMode("append")
         .foreachBatch(write_batch)
         .option("checkpointLocation", os.path.join(output_root, "_checkpoint_qc"))
-        .trigger(availableNow=True)
+        .trigger(**_trigger_kwargs(trigger_seconds))
         .start()
     )
     return q, sinks
@@ -487,6 +496,7 @@ def start_validator_query(
     input_dir: str,
     output_root: str,
     max_files_per_trigger: int | None = None,
+    trigger_seconds: float | None = None,
 ):
     """Launch the keyed per-conv stream validator (turn_idx HWM + count-min
     dedup sketch; see streaming.state) writing duplicate/out-of-order flags
@@ -503,7 +513,7 @@ def start_validator_query(
         flags.writeStream.outputMode("append")
         .foreachBatch(lambda df, bid: sink.write(df, bid))
         .option("checkpointLocation", os.path.join(output_root, "_checkpoint_validator"))
-        .trigger(availableNow=True)
+        .trigger(**_trigger_kwargs(trigger_seconds))
         .start()
     )
     return q, sink
@@ -514,6 +524,7 @@ def start_pending_flags_query(
     tool_calls_dir: str,
     output_root: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    trigger_seconds: float | None = None,
 ):
     """J7/J8: watermarked left-outer stream-stream join of requests x returns.
     Requests with no return within the deadline are emitted once the
@@ -556,7 +567,7 @@ def start_pending_flags_query(
         pending.writeStream.outputMode("append")
         .foreachBatch(lambda df, bid: sink.write(df, bid))
         .option("checkpointLocation", os.path.join(output_root, "_checkpoint_pending"))
-        .trigger(availableNow=True)
+        .trigger(**_trigger_kwargs(trigger_seconds))
         .start()
     )
     return q, sink

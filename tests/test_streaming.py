@@ -637,3 +637,39 @@ def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg
         r = req[(req.conv_id == c) & (req.request_key == k)]
         if len(match) and len(r):
             assert match.ts.min() > r.ts.min() + pd.Timedelta(days=14)
+
+
+def test_submit_entrypoint_local(spark, stream_input, synth_dir):
+    """The spark-submit entrypoint (scripts/submit_streaming_job.py) drives
+    the full job in --local mode: zip builds, sinks + checkpoint + metrics
+    land under the output root, and a second invocation resumes from the
+    checkpoint as a no-op (exactly-once)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "submit_streaming_job.py")
+
+    zip_path = "/tmp/djdq_submit_test.zip"
+    out_root = "/tmp/djdq_submit_test_out"
+    shutil.rmtree(out_root, ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, script, "--build-zip", zip_path],
+        capture_output=True, text=True, check=True,
+    )
+    assert os.path.getsize(zip_path) > 10_000
+
+    cmd = [
+        sys.executable, script, "--local", "2",
+        "--input", f"{stream_input}/transcripts",
+        "--output", out_root,
+        "--conv-meta", f"{synth_dir}/conv_meta.parquet",
+    ]
+    subprocess.run(cmd, capture_output=True, text=True, check=True, timeout=420)
+    assert os.path.isdir(f"{out_root}/_checkpoint_qc")
+    n1 = len(os.listdir(f"{out_root}/audio_qc"))
+    assert n1 > 0
+    assert os.path.isfile(f"{out_root}/metrics.jsonl")
+    # resume: availableNow over an unchanged input is an exactly-once no-op
+    subprocess.run(cmd, capture_output=True, text=True, check=True, timeout=420)
+    assert len(os.listdir(f"{out_root}/audio_qc")) == n1
