@@ -236,12 +236,27 @@ def main() -> None:
         shutil.rmtree(out_root, ignore_errors=True)
         atexit.register(shutil.rmtree, out_root, ignore_errors=True)
         conv_meta_df = spark.read.parquet(f"{bench_dir}/conv_meta.parquet")
-        t0 = time.time()
-        q, sinks = start_session_qc_query(
-            spark, stream_in, out_root, conv_meta_df, PipelineConfig()
+        # state-partition sizing: the BATCH plan wants a high static shuffle
+        # width (sort-spill headroom at 27M+ rows) but a STATEFUL stream pays
+        # per-partition state-store open/commit overhead every micro-batch —
+        # size the streaming section to the core count instead (measured 2x:
+        # 22s at 32 partitions vs 42s at 256 on the same input; state
+        # partition count is fixed at checkpoint creation, fresh per bench).
+        # On a real cluster: ~2-4x executor cores.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
         )
-        finished = q.awaitTermination(600)
-        streaming_sec = time.time() - t0
+        try:
+            t0 = time.time()
+            q, sinks = start_session_qc_query(
+                spark, stream_in, out_root, conv_meta_df, PipelineConfig()
+            )
+            finished = q.awaitTermination(600)
+            streaming_sec = time.time() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if finished:
             timings["streaming_qc"] = round(streaming_sec, 3)
             streaming_tps = round(n_turns / streaming_sec, 1)
