@@ -973,6 +973,71 @@ def q_salted_counts(spark, sf):
     )
 
 
+def _accepted_shape(spark, sf):
+    """accepted-diary-shaped frame derived deterministically from events
+    (feeds the server-level summary operators at the driver gate)."""
+    ev = _t(spark, sf, "events")
+    consent = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("_c"))
+    return ev.join(consent, "user_id").select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.datediff(F.to_date("ts"), F.col("_c")) + 1).cast("long").alias("day"),
+        F.round(F.col("value") / 10.0, 3).alias("length_minutes"),
+        F.date_format("_c", "yyyy-MM-dd").alias("consent_date_at_accounting"),
+    )
+
+
+def q_conv_summary(spark, sf):
+    # A7/serverWide subjects-level engagement rollup
+    # (operators/summaries.conv_level_summary) over an accepted-shaped frame
+    from daily_journal_dataflow_qc_spark.config import PipelineConfig
+    from daily_journal_dataflow_qc_spark.operators.summaries import (
+        conv_level_summary,
+    )
+
+    import datetime as _dt
+
+    cfg = PipelineConfig(compute_date=_dt.date(2024, 6, 1))  # after the events range
+    out = conv_level_summary(_accepted_shape(spark, sf), cfg)
+    return out.select(
+        "conv_id",
+        "num_days_journal_submit",
+        "sum_minutes_audio_uploaded",
+        "num_audio_files_uploaded",
+        "first_submit_day",
+        "last_submit_day",
+        F.col("study_day_at_compute_time").cast("long").alias("study_day_at_compute_time"),
+        F.col("time_since_last_submit").cast("long").alias("time_since_last_submit"),
+    )
+
+
+def q_site_summary(spark, sf):
+    # A7/serverWide sites-level rollup with the two-week windows and
+    # per-subject-week rates (operators/summaries.group_level_summary)
+    from daily_journal_dataflow_qc_spark.config import PipelineConfig
+    from daily_journal_dataflow_qc_spark.operators.summaries import (
+        group_level_summary,
+    )
+
+    site = F.concat(F.lit("s"), F.substring("conv_id", 5, 1))
+    import datetime as _dt
+
+    cfg = PipelineConfig(compute_date=_dt.date(2024, 6, 1))  # after the events range
+    out = group_level_summary(_accepted_shape(spark, sf), cfg, group_expr=site)
+    return out.select(
+        "site",
+        "num_subjects_any_journal",
+        "sum_minutes_audio_uploaded",
+        F.col("num_audio_files_uploaded").cast("long").alias("num_audio_files_uploaded"),
+        "num_subjects_within_first_two_weeks_of_enrollment",
+        "num_subjects_submit_within_last_two_weeks",
+        "fraction_diary_subjects_submit_after_two_weeks",
+        "mean_minutes_per_diary_after_two_weeks",
+        "mean_accepted_diaries_per_subject_week_after_two_weeks",
+        "mean_accepted_diaries_per_subject_within_first_two_weeks",
+        "mean_minutes_per_diary_first_two_weeks",
+    )
+
+
 def q_cube_rollup(spark, sf):
     # grouping-sets aggregation (monitoring rollup; SURVEY §2.4 optional)
     ev = _t(spark, sf, "events")
@@ -1040,6 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_scan": q_activity_scan,
         "snapshot_latest": q_snapshot_latest,
         "pending_age": q_pending_age,
+        "conv_summary": q_conv_summary,
+        "site_summary": q_site_summary,
         "encoding_class": q_encoding_class,
         "disfluency_rates": q_disfluency_rates,
         "salted_counts": q_salted_counts,
@@ -1306,6 +1373,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(date_diff('day', last_d, DATE '1998-06-01') / 7.0) AS BIGINT) AS weeks_since_last,
                    date_diff('day', last_d, DATE '1998-06-01') >= 14 AS is_stale
             FROM (SELECT user_id, max(CAST(ts AS DATE)) AS last_d FROM events GROUP BY user_id)
+        """,
+        "conv_summary": """
+            WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cd FROM events GROUP BY user_id),
+            a AS (
+                SELECT 'conv' || CAST(e.user_id AS VARCHAR) AS conv_id,
+                       CAST(date_diff('day', cd, CAST(ts AS DATE)) + 1 AS BIGINT) AS day,
+                       round(value / 10.0, 3) AS length_minutes,
+                       cd
+                FROM events e JOIN c ON e.user_id = c.user_id
+            )
+            SELECT conv_id,
+                   count(DISTINCT day) AS num_days_journal_submit,
+                   round(sum(length_minutes), 3) AS sum_minutes_audio_uploaded,
+                   count(*) AS num_audio_files_uploaded,
+                   min(day) AS first_submit_day,
+                   max(day) AS last_submit_day,
+                   CAST(date_diff('day', min(cd), DATE '2024-06-01') + 1 AS BIGINT) AS study_day_at_compute_time,
+                   CAST(date_diff('day', min(cd), DATE '2024-06-01') + 1 - max(day) AS BIGINT) AS time_since_last_submit
+            FROM a GROUP BY conv_id
+        """,
+        "site_summary": """
+            WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cd FROM events GROUP BY user_id),
+            a AS (
+                SELECT 'conv' || CAST(e.user_id AS VARCHAR) AS conv_id,
+                       's' || substring('conv' || CAST(e.user_id AS VARCHAR), 5, 1) AS site,
+                       CAST(date_diff('day', cd, CAST(ts AS DATE)) + 1 AS BIGINT) AS day,
+                       round(value / 10.0, 3) AS length_minutes,
+                       cd
+                FROM events e JOIN c ON e.user_id = c.user_id
+            ), conv AS (
+                SELECT conv_id, site,
+                       round(sum(length_minutes), 3) AS sum_min,
+                       count(*) AS n_files,
+                       max(day) AS last_day,
+                       CAST(date_diff('day', min(cd), DATE '2024-06-01') + 1 AS BIGINT) AS study_day
+                FROM a GROUP BY conv_id, site
+            ), base AS (
+                SELECT site,
+                       count(DISTINCT conv_id) AS num_subjects_any_journal,
+                       round(sum(sum_min), 3) AS sum_minutes_audio_uploaded,
+                       CAST(sum(n_files) AS BIGINT) AS num_audio_files_uploaded,
+                       CAST(sum(CASE WHEN study_day <= 14 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS num_subjects_within_first_two_weeks_of_enrollment,
+                       CAST(sum(CASE WHEN study_day - last_day <= 14 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS num_subjects_submit_within_last_two_weeks,
+                       round(sum(CASE WHEN last_day > 14 THEN 1 ELSE 0 END)
+                             / nullif(sum(CASE WHEN study_day > 14 THEN 1 ELSE 0 END), 0), 4)
+                           AS fraction_diary_subjects_submit_after_two_weeks
+                FROM conv GROUP BY site
+            ), post_mins AS (
+                SELECT site, round(avg(length_minutes), 4) AS mean_minutes_per_diary_after_two_weeks
+                FROM a WHERE day > 14 GROUP BY site
+            ), pre_rate AS (
+                SELECT site,
+                       round(count(*) / count(DISTINCT conv_id), 4)
+                           AS mean_accepted_diaries_per_subject_within_first_two_weeks,
+                       round(avg(length_minutes), 4) AS mean_minutes_per_diary_first_two_weeks
+                FROM a WHERE day <= 14 GROUP BY site
+            ), weeks AS (
+                SELECT site, sum(ceil(study_day / 7.0) - 2) AS num_weeks
+                FROM conv
+                WHERE conv_id IN (SELECT DISTINCT conv_id FROM a WHERE day > 14)
+                GROUP BY site
+            ), post_rate AS (
+                SELECT p.site,
+                       round(p.n_post / w.num_weeks, 4)
+                           AS mean_accepted_diaries_per_subject_week_after_two_weeks
+                FROM (SELECT site, count(*) AS n_post FROM a WHERE day > 14 GROUP BY site) p
+                JOIN weeks w ON p.site = w.site
+            )
+            SELECT b.*, pm.mean_minutes_per_diary_after_two_weeks,
+                   pr.mean_accepted_diaries_per_subject_week_after_two_weeks,
+                   q.mean_accepted_diaries_per_subject_within_first_two_weeks,
+                   q.mean_minutes_per_diary_first_two_weeks
+            FROM base b
+            LEFT JOIN post_mins pm ON b.site = pm.site
+            LEFT JOIN post_rate pr ON b.site = pr.site
+            LEFT JOIN pre_rate q ON b.site = q.site
         """,
         "encoding_class": """
             SELECT doc_id,

@@ -119,9 +119,15 @@ def group_level_summary(
             F.when(F.col("last_submit_day") > 14, 1).otherwise(0)
         ).alias("_past2w_submit"),
     )
+    # M4 safe divide: a group with no post-two-week subjects yields NULL,
+    # never a divide-by-zero (which ABORTS the job under Spark 4's default
+    # ANSI mode — not just a NaN)
     base = base.withColumn(
         "fraction_diary_subjects_submit_after_two_weeks",
-        F.round(F.col("_past2w_submit") / F.col("_past2w"), 4),
+        F.when(
+            F.col("_past2w") != 0,
+            F.round(F.col("_past2w_submit") / F.col("_past2w"), 4),
+        ),
     ).drop("_past2w", "_past2w_submit")
 
     acc = accepted.withColumn("_site", site)
@@ -150,7 +156,10 @@ def group_level_summary(
         post_counts.join(weeks, "_site", "inner")
         .withColumn(
             "mean_accepted_diaries_per_subject_week_after_two_weeks",
-            F.round(F.col("_n_post") / F.col("_num_weeks"), 4),
+            F.when(  # M4: young cohorts can have 0 accumulated weeks
+                F.col("_num_weeks") != 0,
+                F.round(F.col("_n_post") / F.col("_num_weeks"), 4),
+            ),
         )
         .select("_site", "mean_accepted_diaries_per_subject_week_after_two_weeks")
     )
