@@ -47,11 +47,22 @@ from .keystore import IncrementalKeyStore
 from .sink import IdempotentBatchSink
 
 STREAM_CONF = {
-    # RocksDB-backed keyed state (north star); falls back safely in tests
+    # RocksDB-backed keyed state (north star): state lives off-heap in a
+    # native store per partition (bounded JVM heap at 10^8-conversation
+    # scale) with incremental checkpoint uploads. Applied at query start by
+    # every start_* launcher (the provider is captured into the checkpoint;
+    # rocksdbjni ships with Spark 4). Changelog checkpointing keeps the
+    # per-trigger commit proportional to the DELTA, not the store size.
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }
+
+
+def _apply_stream_conf(spark: SparkSession) -> None:
+    for k, v in STREAM_CONF.items():
+        spark.conf.set(k, v)
 
 
 def _streamed_files(checkpoint_loc: str, batch_id: int) -> list[str] | None:
@@ -244,6 +255,7 @@ def start_session_qc_query(
 
     Returns (query, {sink_name: IdempotentBatchSink}).
     """
+    _apply_stream_conf(spark)
     reader = spark.readStream.schema(schemas.TRANSCRIPTS)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -501,6 +513,7 @@ def start_validator_query(
     """Launch the keyed per-conv stream validator (turn_idx HWM + count-min
     dedup sketch; see streaming.state) writing duplicate/out-of-order flags
     to an exactly-once sink."""
+    _apply_stream_conf(spark)
     from .state import turn_stream_validator
 
     reader = spark.readStream.schema(schemas.TRANSCRIPTS)
@@ -529,6 +542,7 @@ def start_pending_flags_query(
     """J7/J8: watermarked left-outer stream-stream join of requests x returns.
     Requests with no return within the deadline are emitted once the
     watermark passes request_ts + deadline (event-time timeout)."""
+    _apply_stream_conf(spark)
     tc = spark.readStream.schema(schemas.TOOL_CALLS).parquet(tool_calls_dir)
     req = (
         tc.filter(F.col("kind") == "request")
