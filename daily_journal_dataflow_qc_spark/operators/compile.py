@@ -190,7 +190,12 @@ def issues_set(
         # before the S10 rename. Language comes from the conversation's QC
         # rows; with none (e.g. consent missing) the marked key is kept —
         # a documented fallback, the flag still identifies the submission.
-        conv_lang = audio_qc_df.select("conv_id", "language").distinct()
+        # ONE language per conv (min), so a conversation with QC rows in
+        # several languages cannot fan the exhausted key into multiple
+        # upload-failed rows; the pandas oracle picks the same min.
+        conv_lang = audio_qc_df.groupBy("conv_id").agg(
+            F.min("language").alias("language")
+        )
         upload_failed = exhausted.join(F.broadcast(conv_lang), "conv_id", "left").select(
             "conv_id",
             strip_language_marker(F.col("request_key"), F.col("language")).alias(

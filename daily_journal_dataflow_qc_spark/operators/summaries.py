@@ -9,7 +9,7 @@ first/last submit days (A6), and two-week-window rates (A7) are preserved;
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -168,4 +168,161 @@ def group_level_summary(
         .join(post_rate, "_site", "left")
         .join(pre_rate, "_site", "left")
         .withColumnRenamed("_site", "site")
+    )
+
+
+def participation_timecourse(accepted: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Weekly-monitoring participation timecourse (graft of
+    create_shareable_visualizations.py:730-749 get_timecourse_dfs_helper).
+
+    For every study day 1..max(study_day_at_compute_time):
+
+    * ``total_subjects_reached_day`` — subjects whose study day at compute
+      time is >= that day (the reference's reversed counting_list loop ==
+      a reverse cumulative count over the study-day distribution: W6 over
+      descending day, O(distinct days), never a per-subject explode),
+    * ``total_accepted_diaries_submitted_on_day`` — accepted diaries whose
+      study day equals it (outer-merge + fillna(0) semantics),
+    * ``current_response_rate`` = diaries / reached,
+    * rolling(7) mean / sample stdev of the rate with the pandas null head
+      (rows 1-6 are NULL, min_periods == window).
+
+    The day spine is a 1-row sequence+explode — bounded by study length
+    (days, not data volume), so it broadcast-joins at any scale.
+    """
+    conv = conv_level_summary(accepted, cfg)
+    per_day_subjects = conv.groupBy(
+        F.col("study_day_at_compute_time").cast("long").alias("day")
+    ).agg(F.count("*").alias("_n_subj"))
+    spine = (
+        conv.agg(F.max("study_day_at_compute_time").cast("long").alias("_max_day"))
+        .select(F.explode(F.sequence(F.lit(1).cast("long"), F.col("_max_day"))).alias("day"))
+    )
+    w_desc = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    reached = (
+        spine.join(per_day_subjects, "day", "left")
+        .withColumn(
+            "total_subjects_reached_day",
+            F.sum(F.coalesce(F.col("_n_subj"), F.lit(0))).over(w_desc),
+        )
+        .drop("_n_subj")
+    )
+    diaries_per_day = (
+        accepted.filter(F.col("conv_id").isNotNull() & F.col("day").isNotNull())
+        .groupBy(F.col("day").cast("long").alias("day"))
+        .agg(F.count("*").alias("_n_diaries"))
+    )
+    acct = (
+        reached.join(diaries_per_day, "day", "left")
+        .withColumn(
+            "total_accepted_diaries_submitted_on_day",
+            F.coalesce(F.col("_n_diaries"), F.lit(0)),
+        )
+        .drop("_n_diaries")
+        .filter(F.col("total_subjects_reached_day") > 0)
+        .withColumn(
+            "current_response_rate",
+            F.col("total_accepted_diaries_submitted_on_day")
+            / F.col("total_subjects_reached_day").cast("double"),
+        )
+    )
+    w_day = Window.orderBy("day")
+    w_roll = w_day.rowsBetween(-6, 0)
+    gate = F.row_number().over(w_day) >= 7
+    return acct.withColumns(
+        {
+            "rolling_mean_week_window_daily_response_fraction_eligible_subjects": F.when(
+                gate, F.avg("current_response_rate").over(w_roll)
+            ),
+            "weekly_response_stdev_rolling": F.when(
+                gate, F.stddev_samp("current_response_rate").over(w_roll)
+            ),
+        }
+    )
+
+
+def fixed_bin_histogram(
+    df: DataFrame, feature: str, edges: list[float]
+) -> DataFrame:
+    """A9 fixed-bin histogram with the reference's predefined-bin semantics
+    (create_shareable_visualizations.py:64-99,379-418): bins follow
+    np.histogram — ``[e_i, e_{i+1})`` upper-edge exclusive except the LAST
+    bin which includes its upper edge — and values strictly outside
+    ``[e_0, e_last]`` are rolled into one out-of-range row (``bin_idx`` -1,
+    the "N outside of range" axis label).
+
+    The CASE chain is a pure JVM projection (edges are plan literals), so
+    the whole histogram is one map-side-combinable groupBy.
+    """
+    v = F.col(feature).cast("double")
+    expr = F.when(v.isNull() | (v < edges[0]) | (v > edges[-1]), F.lit(-1))
+    for i in range(len(edges) - 2):
+        expr = expr.when((v >= edges[i]) & (v < edges[i + 1]), F.lit(i))
+    expr = expr.otherwise(F.lit(len(edges) - 2))
+    lo = F.array(*[F.lit(float(e)) for e in edges[:-1]])
+    hi = F.array(*[F.lit(float(e)) for e in edges[1:]])
+    return (
+        df.select(expr.cast("long").alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit(feature).alias("feature"),
+            "bin_idx",
+            F.when(F.col("bin_idx") >= 0, F.element_at(lo, F.col("bin_idx").cast("int") + 1)).alias("bin_lo"),
+            F.when(F.col("bin_idx") >= 0, F.element_at(hi, F.col("bin_idx").cast("int") + 1)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def email_summary_tables(
+    site_summary: DataFrame, activity_site_summary: DataFrame
+) -> DataFrame:
+    """The Monday email's content tables as one relational row set per site
+    (graft of finalize_server_summary_email_html.py:26-56, HTML rendering
+    intentionally skipped — the deliverable is the data frame the reference
+    embeds, with its exact display column names).
+
+    * rows with null minutes/file counts are dropped (dropna how='any'),
+    * sites whose pipeline never launched (no active-app subjects) are
+      dropped,
+    * ``Site`` is the last two characters of the site code.
+
+    Both inputs are site-grain (hundreds of rows) — the join broadcasts.
+    """
+    act = activity_site_summary.select(
+        "site",
+        "num_subjects_found",
+        "num_subjects_any_active_app",
+        "num_subjects_any_ema",
+        "num_subjects_any_journal",
+    )
+    df = site_summary.drop("num_subjects_any_journal").join(
+        F.broadcast(act), "site", "inner"
+    )
+    df = df.filter(
+        F.col("sum_minutes_audio_uploaded").isNotNull()
+        & F.col("num_audio_files_uploaded").isNotNull()
+        & (F.col("num_subjects_any_active_app") > 0)
+    )
+    return df.select(
+        F.substring(F.col("site"), -2, 2).alias("Site"),
+        F.col("num_audio_files_uploaded")
+        .cast("long")
+        .alias("Total Successful Audio Journal Submissions"),
+        F.col("sum_minutes_audio_uploaded").alias(
+            "Sum Minutes Uploaded to TranscribeMe"
+        ),
+        F.col("num_subjects_found").cast("long").alias("Subject IDs Found"),
+        F.col("num_subjects_any_ema")
+        .cast("long")
+        .alias("Subjects Submitting EMAs (>=1)"),
+        F.col("num_subjects_any_journal")
+        .cast("long")
+        .alias("Subjects Submitting Journals (>=1)"),
+        F.col("num_subjects_submit_within_last_two_weeks")
+        .cast("long")
+        .alias("Subjects Recording a Journal in Last 2 Weeks"),
     )

@@ -56,10 +56,15 @@ def push_attempt_stats(tool_calls: DataFrame) -> DataFrame:
     key whose attempts reach the max without a return is "still in
     audio_to_send" and gets the upload-failed flag
     (subject_summaries_update.sh:127-143). One aggregation over the
-    tool-call stream — scales as a plain keyed rollup."""
+    tool-call stream — scales as a plain keyed rollup.
+
+    Attempts are counted over DISTINCT request timestamps: duplicate
+    tool-call rows are verbatim re-deliveries (same ts) and must not
+    inflate the count toward the upload-failed flag, while genuine retries
+    are >= 5 s apart (the reference's backoff) and stay distinct."""
     is_req = F.col("kind") == "request"
     return tool_calls.groupBy("conv_id", "request_key").agg(
-        F.sum(is_req.cast("int")).cast("int").alias("n_attempts"),
+        F.countDistinct(F.when(is_req, F.col("ts"))).cast("int").alias("n_attempts"),
         F.min(F.when(is_req, F.col("ts"))).alias("first_attempt_ts"),
         F.max(F.when(is_req, F.col("ts"))).alias("last_attempt_ts"),
         F.max(F.col("kind") == "return").alias("returned"),
@@ -99,6 +104,78 @@ def clear_resolved_push_errors(
     return rest.unionByName(
         failed.join(resolved, ["conv_id", "filename"], "left_anti")
     )
+
+
+def clear_resolved_return_errors(
+    issues_log: DataFrame, pending_files: DataFrame, transcripts: DataFrame
+) -> DataFrame:
+    """Graft of manual_update_utilities/transcribeme_return_error_clear.py:
+    drop 'pending return for over 2 weeks' issue rows whose file (a) is NO
+    LONGER in the pending-return area and (b) has its transcript present —
+    i.e. the return actually arrived and the stale flag can clear. Files
+    still pending (TranscribeMe genuinely never returned them) are KEPT,
+    exactly as the reference insists.
+
+    ``pending_files``: (conv_id, filename) still awaiting return;
+    ``transcripts``: (conv_id, filename) with the transcript present (the
+    reference checks <name>.txt exists; callers pass the audio-side name).
+    Anti/semi joins on (conv_id, filename) — both side tables are key-only
+    and broadcastable; the issues log itself is never re-scanned per file
+    the way the reference's per-CSV loop is.
+    """
+    from .compile import MSG_PENDING
+
+    stale = issues_log.filter(F.col("error_message") == MSG_PENDING)
+    rest = issues_log.filter(F.col("error_message") != MSG_PENDING)
+    resolved = (
+        stale.select("conv_id", "filename")
+        .join(pending_files, ["conv_id", "filename"], "left_anti")
+        .join(transcripts, ["conv_id", "filename"], "left_semi")
+    )
+    return rest.unionByName(
+        stale.join(resolved, ["conv_id", "filename"], "left_anti")
+    )
+
+
+def mindlamp_json_bug_adjust(
+    mp3_accounting: DataFrame,
+    json_accounting: DataFrame,
+    issues_log: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Graft of manual_update_utilities/mindlamp_json_bug_adjust.py: undo the
+    pipeline's record of JSONs hit by the upstream MindLAMP bug so the
+    recovered data reprocesses.
+
+    Returns (mp3_keep, json_keep, issues_keep):
+
+    * MP3 accounting keeps only rows whose JSON record check passed,
+    * the JSON accounting drops the records matching the orphaned MP3s
+      (name transform: ``<stem>_sound....mp3`` -> ``<stem>.json``, the
+      reference's ``x.split("_sound")[0] + ".json"``),
+    * the issues log drops every 'MP3 found without a matching JSON record'
+      row (the reference clears them wholesale to keep the log readable).
+
+    The orphan-name side is per-subject-small; the anti-join broadcasts.
+    """
+    from .compile import MSG_ORPHAN_RETURN
+
+    mp3_keep = mp3_accounting.filter(F.col("json_record_existence_check"))
+    orphan_jsons = (
+        mp3_accounting.filter(~F.col("json_record_existence_check"))
+        .select(
+            "conv_id",
+            F.concat(
+                F.split(F.col("found_mp3_name"), "_sound").getItem(0),
+                F.lit(".json"),
+            ).alias("json_filename"),
+        )
+        .distinct()
+    )
+    json_keep = json_accounting.join(
+        F.broadcast(orphan_jsons), ["conv_id", "json_filename"], "left_anti"
+    )
+    issues_keep = issues_log.filter(F.col("error_message") != MSG_ORPHAN_RETURN)
+    return mp3_keep, json_keep, issues_keep
 
 
 def returned_accepted_diaries(

@@ -463,8 +463,11 @@ def compute(
     # S8 attempt lifecycle: keys whose push retries are exhausted without a
     # return never reached the tool — flagged upload-failed (local name),
     # excluded from the pending / no-QC reconciliations
+    # distinct request ts per key: duplicate rows are verbatim re-deliveries
+    # (engine mirror: push_attempt_stats countDistinct)
     att = (
         tool_calls[tool_calls["kind"] == "request"]
+        .drop_duplicates(["conv_id", "request_key", "ts"])
         .groupby(["conv_id", "request_key"])
         .size()
     )
@@ -474,8 +477,9 @@ def compute(
         if n >= cfg.max_push_attempts and k not in ret_keys
     }
     # language for the local-name strip comes from the conversation's QC rows
-    # (engine semantics: a conv with no audio-QC rows keeps the marked key)
-    _langs = dict(zip(dqc["conv_id"], dqc["expected_language"]))
+    # (engine semantics: a conv with no audio-QC rows keeps the marked key;
+    # min per conv, matching compile.issues_set's deterministic pick)
+    _langs = dqc.groupby("conv_id")["expected_language"].min().to_dict()
 
     def add(conv, fname, stage, msg):
         issues_rows.append(

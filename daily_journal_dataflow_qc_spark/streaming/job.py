@@ -541,13 +541,30 @@ def start_pending_flags_query(
 ):
     """J7/J8: watermarked left-outer stream-stream join of requests x returns.
     Requests with no return within the deadline are emitted once the
-    watermark passes request_ts + deadline (event-time timeout)."""
+    watermark passes request_ts + deadline (event-time timeout).
+
+    Batch-tier parity (issues_set):
+
+    * requests are deduped to FIRST arrival per (conv_id, request_key)
+      before the join — S8 retries would otherwise emit one pending row per
+      attempt (the batch tier ages the min request ts),
+    * keys whose retries exhausted without a return are anti-joined out in
+      the sink: the batch tier flags them 'TranscribeMe SFTP upload failed'
+      and EXCLUDES them from pending. Attempt counts come from a batch read
+      of the already-admitted tool-call files scoped (broadcast semi-join)
+      to the handful of keys emitting this batch — by emission time the
+      watermark is 14 days past the first attempt, so every retry (5 s
+      backoff) has long been admitted and the count is exact.
+    """
     _apply_stream_conf(spark)
+    from ..operators.transcript import push_attempt_stats
+
     tc = spark.readStream.schema(schemas.TOOL_CALLS).parquet(tool_calls_dir)
     req = (
         tc.filter(F.col("kind") == "request")
         .select("conv_id", "request_key", F.col("ts").alias("req_ts"))
         .withWatermark("req_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["conv_id", "request_key"])
     )
     ret = (
         tc.filter(F.col("kind") == "return")
@@ -577,10 +594,34 @@ def start_pending_flags_query(
         ).alias("error_message"),
     )
     sink = IdempotentBatchSink(output_root, "pending_flags")
+    checkpoint = os.path.join(output_root, "_checkpoint_pending")
+
+    def write_pending(df: DataFrame, batch_id: int) -> None:
+        admitted = _streamed_files(checkpoint, batch_id)
+        reader = spark.read.schema(schemas.TOOL_CALLS)
+        tcb = reader.parquet(*admitted) if admitted else reader.parquet(tool_calls_dir)
+        keys = df.select(
+            F.col("conv_id").alias("_c"), F.col("filename").alias("_k")
+        ).distinct()
+        scoped = tcb.join(
+            F.broadcast(keys),
+            (tcb["conv_id"] == F.col("_c")) & (tcb["request_key"] == F.col("_k")),
+            "left_semi",
+        )
+        exhausted = (
+            push_attempt_stats(scoped)
+            .filter(
+                (~F.col("returned"))
+                & (F.col("n_attempts") >= cfg.max_push_attempts)
+            )
+            .select("conv_id", F.col("request_key").alias("filename"))
+        )
+        sink.write(df.join(F.broadcast(exhausted), ["conv_id", "filename"], "left_anti"), batch_id)
+
     q = (
         pending.writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: sink.write(df, bid))
-        .option("checkpointLocation", os.path.join(output_root, "_checkpoint_pending"))
+        .foreachBatch(write_pending)
+        .option("checkpointLocation", checkpoint)
         .trigger(**_trigger_kwargs(trigger_seconds))
         .start()
     )

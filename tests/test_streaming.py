@@ -607,8 +607,9 @@ def test_streaming_metrics_listener(spark, stream_input, cfg):
 
 def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg):
     """Stream-stream left-outer join: requests unmatched within the deadline
-    == the batch engine's pending-flag keys for requests old enough that the
-    final watermark passed their deadline."""
+    == EXACTLY the batch engine's pending-flag key set (first-arrival dedup,
+    exhausted-retry keys excluded) for requests old enough that the final
+    watermark passed their deadline."""
     out_root = "/tmp/djdq_stream_pending"
     shutil.rmtree(out_root, ignore_errors=True)
     q, sink = start_pending_flags_query(spark, f"{stream_input}/tool_calls", out_root, cfg)
@@ -619,24 +620,43 @@ def test_streaming_pending_flags_match_batch(spark, stream_input, synth_dir, cfg
     req = tc[tc.kind == "request"]
     ret = tc[tc.kind == "return"]
     ret_keys = set(zip(ret.conv_id, ret.request_key))
+    # batch issues_set semantics: attempts = distinct request ts per key;
+    # >= max_push_attempts with no return -> upload-failed, NOT pending
+    att = (
+        req.drop_duplicates(["conv_id", "request_key", "ts"])
+        .groupby(["conv_id", "request_key"])
+        .size()
+    )
+    exhausted = {
+        k for k, n in att.items()
+        if n >= cfg.max_push_attempts and k not in ret_keys
+    }
     # the global watermark is the MIN across both inputs' watermarks
-    # (each = max event time seen - 1h delay)
+    # (each = max event time seen - 1h delay); ages use the FIRST arrival.
+    # A key whose return arrived AFTER the deadline is still flagged — the
+    # reference raises the pending flag at the 2-week cron and the issues
+    # log never forgets it (that is what transcribeme_return_error_clear
+    # exists to clean up); only within-deadline returns suppress the flag.
+    first_ts = req.groupby(["conv_id", "request_key"]).ts.min()
+    ret_first = ret.groupby(["conv_id", "request_key"]).ts.min()
     wm = min(req.ts.max(), ret.ts.max()) - pd.Timedelta(hours=1)
+    deadline = pd.Timedelta(days=14)
     expect = {
-        (r.conv_id, r.request_key)
-        for r in req.itertuples()
-        if (r.conv_id, r.request_key) not in ret_keys
-        and r.ts + pd.Timedelta(days=14) < wm
+        k
+        for k, t in first_ts.items()
+        if k not in exhausted
+        and (k not in ret_first.index or ret_first[k] > t + deadline)
+        and t + deadline < wm
     }
     got_keys = set(zip(got.conv_id, got.filename))
     assert expect, "fixture produced no pending candidates"
-    assert expect <= got_keys, f"missing pending flags: {sorted(expect - got_keys)[:5]}"
-    # nothing flagged that actually has a return within the deadline
-    for c, k in got_keys:
-        match = ret[(ret.conv_id == c) & (ret.request_key == k)]
-        r = req[(req.conv_id == c) & (req.request_key == k)]
-        if len(match) and len(r):
-            assert match.ts.min() > r.ts.min() + pd.Timedelta(days=14)
+    assert exhausted, "fixture produced no exhausted-retry keys (S8 datagen)"
+    assert got_keys == expect, (
+        f"pending set mismatch: missing={sorted(expect - got_keys)[:5]} "
+        f"extra={sorted(got_keys - expect)[:5]}"
+    )
+    # first-arrival dedup: exactly one row per pending key
+    assert len(got) == len(got_keys), "duplicate pending rows for a retried key"
 
 
 def test_submit_entrypoint_local(spark, stream_input, synth_dir):
