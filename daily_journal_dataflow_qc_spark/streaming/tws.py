@@ -37,11 +37,21 @@ Output schema and values match ``session_qc_aggregate`` + ``write_batch``'s
 expectations, so the same ``compile_batch`` identity/acceptance stage runs
 unchanged on either backend.
 
-Environment note: transformWithStateInPandas spawns a Python runner that
-imports google.protobuf; this container ships a broken protobuf (ImportError
-on ``google.protobuf.descriptor``), so the end-to-end integration test is
-import-gated (skips) while the processor logic itself is verified
-handle-free in tests/test_streaming.py::test_tws_processor_logic_matches_sessions.
+Environment note: transformWithStateInPandas spawns Python runners that
+import google.protobuf for the state-server protocol; this container ships
+none, so the package activates the vendored pure-Python runtime
+(daily_journal_dataflow_qc_spark/_vendor, see protobuf_shim.py). The
+backend runs END-TO-END against a real streaming query in
+tests/test_streaming.py::test_tws_backend_matches_batch (batch parity),
+with the processor logic additionally covered handle-free in
+test_tws_processor_logic_matches_sessions.
+
+Emission is WATERMARK-GATED (north rule): sessions close as soon as the
+gap is observed, but their rows are buffered in ``pending`` ListState and
+emitted by event-time timers when the watermark passes session_end + gap —
+the exact cadence of groupBy(session_window). Eager emission would scramble
+the per-batch submission rank against the batch tier (found by the e2e test
+the first time it actually ran).
 """
 
 from __future__ import annotations
@@ -130,9 +140,61 @@ _HWM_SCHEMA = T.StructType([T.StructField("hwm", T.LongType(), False)])
 _MISSING_KEY_SCHEMA = T.StructType([T.StructField("idx", T.LongType(), False)])
 _MISSING_VAL_SCHEMA = T.StructType([T.StructField("one", T.LongType(), False)])
 
+# WATERMARK-GATED emission buffer: sessions CLOSE as soon as the gap is
+# observed, but their diary rows must not EMIT until the event-time
+# watermark passes session_end + gap — the exact emission cadence of
+# groupBy(session_window) (north rule: watermark-gated emission; eager
+# emission would also scramble the per-batch submission rank vs the batch
+# tier). One ListState row per closed-but-unemitted session: the finished
+# diary scalars + the due timestamp; bounded by sessions closing within one
+# watermark delay per conversation.
+_PENDING_SCHEMA = T.StructType(
+    [
+        T.StructField("due_ms", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("has_tool_tag", T.BooleanType(), False),
+        T.StructField("any_violated", T.BooleanType(), False),
+        T.StructField("speaker_cnt", T.LongType(), False),
+        T.StructField("s1", T.LongType(), False),
+        T.StructField("word_count", T.LongType(), False),
+        T.StructField("min_words", T.LongType(), False),
+        T.StructField("max_words", T.LongType(), False),
+        T.StructField("inaudible", T.LongType(), False),
+        T.StructField("questionable", T.LongType(), False),
+        T.StructField("other_br", T.LongType(), False),
+        T.StructField("redactions", T.LongType(), False),
+        T.StructField("nonverbal", T.DoubleType(), False),
+        T.StructField("verbal", T.DoubleType(), False),
+        T.StructField("repeats", T.DoubleType(), False),
+        T.StructField("restarts", T.DoubleType(), False),
+        T.StructField("final_ts_min", T.DoubleType(), False),
+        T.StructField("min_gap", T.DoubleType(), True),
+        T.StructField("max_gap", T.DoubleType(), True),
+        T.StructField("min_gpw", T.DoubleType(), True),
+        T.StructField("max_gpw", T.DoubleType(), True),
+        T.StructField("encoding", T.StringType(), False),
+    ]
+)
+
 
 def _round3(x: float) -> float:
     return round(x, 3)
+
+
+# Arrow-safe pandas dtypes for the emitted diary frame: the runner converts
+# with safe casting on, so int columns must already be int32 where
+# DIARY_SCHEMA says IntegerType (python ints infer as int64 and fail).
+_EMIT_DTYPES = {
+    f.name: "int32"
+    for f in DIARY_SCHEMA.fields
+    if isinstance(f.dataType, T.IntegerType)
+}
+
+
+def _emit_frame(rows: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame(rows).astype(_EMIT_DTYPES)
 
 
 class SessionQcProcessor(StatefulProcessor):
@@ -150,21 +212,28 @@ class SessionQcProcessor(StatefulProcessor):
         self.missing = handle.getMapState(
             "missing", _MISSING_KEY_SCHEMA, _MISSING_VAL_SCHEMA
         )
+        self.pending = handle.getListState("pending", _PENDING_SCHEMA)
 
     def close(self) -> None:
         pass
 
     # -- row/aggregate builders ----------------------------------------------
     def _diary_row(self, conv_id: str, a: tuple, pairs: list[tuple[int, int]]) -> dict:
-        """One diary output row from an agg tuple + (ts_us, wc) pairs."""
+        """One diary output row from an agg tuple + (ts_us, wc) pairs.
+        Gap stats run as numpy diffs over the pairs array (same shape as
+        ``_seg_agg``) — no per-element Python loop at emission time."""
         (
             start_us, end_us, n_turns, has_tool, any_viol, s1, wsum, wmin, wmax,
             inaud, quest, other, red, nonv, verb, reps, rest, all_ascii, roles,
         ) = a
-        pairs = sorted(pairs, key=lambda p: p[0])
-        secs = [p[0] / 1e6 for p in pairs]
-        gaps = [b - a_ for a_, b in zip(secs, secs[1:])]
-        gpw = [g / pairs[i][1] if pairs[i][1] else math.nan for i, g in enumerate(gaps)]
+        arr = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+        arr = arr[np.argsort(arr[:, 0], kind="stable")]
+        secs = arr[:, 0] / 1e6
+        gaps = np.diff(secs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gpw = np.where(arr[:-1, 1] != 0, gaps / arr[:-1, 1], math.nan)
+        gaps = gaps.tolist()
+        gpw = gpw.tolist()
         return {
             "conv_id": conv_id,
             "session_start": pd.Timestamp(start_us, unit="us"),
@@ -203,6 +272,96 @@ class SessionQcProcessor(StatefulProcessor):
         self.agg.clear()
         self.pairs.clear()
         return self._diary_row(conv_id, a, pairs)
+
+    # -- watermark-gated emission buffer -------------------------------------
+    def _due_ms(self, end_us: int) -> int:
+        return end_us // 1000 + self.gap_us // 1000
+
+    def _defer(self, row: dict) -> None:
+        """Buffer a CLOSED session's finished row until the event-time
+        watermark passes session_end + gap (the session_window emission
+        point), and arm a timer for that instant."""
+        due = self._due_ms(int(row["session_end"].value) // 1000)
+        self.pending.appendValue(
+            (
+                due,
+                int(row["session_start"].value) // 1000,
+                int(row["session_end"].value) // 1000,
+                int(row["n_turns"]),
+                bool(row["has_tool_tag"]),
+                bool(row["any_violated"]),
+                int(row["speakerID_count"]),
+                int(row["S1_sentence_count"]),
+                int(row["word_count"]),
+                int(row["min_words_in_sen"]),
+                int(row["max_words_in_sen"]),
+                int(row["inaudible_count"]),
+                int(row["questionable_count"]),
+                int(row["other_bracketed_notation_count"]),
+                int(row["redacted_count"]),
+                float(row["nonverbal_edits_count"]),
+                float(row["verbal_edits_count"]),
+                float(row["repeats_count"]),
+                float(row["restarts_count"]),
+                float(row["final_timestamp_minutes"]),
+                row["min_timestamp_space_seconds"],
+                row["max_timestamp_space_seconds"],
+                row["min_timestamp_space_per_word"],
+                row["max_timestamp_space_per_word"],
+                str(row["txt_encoding_type"]),
+            )
+        )
+        self.handle.registerTimer(due)
+
+    def _pending_to_row(self, conv_id: str, p: tuple) -> dict:
+        def opt(v):
+            return None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
+
+        return {
+            "conv_id": conv_id,
+            "session_start": pd.Timestamp(int(p[1]), unit="us"),
+            "session_end": pd.Timestamp(int(p[2]), unit="us"),
+            "n_turns": int(p[3]),
+            "has_tool_tag": bool(p[4]),
+            "any_violated": bool(p[5]),
+            "speakerID_count": int(p[6]),
+            "S1_sentence_count": int(p[7]),
+            "word_count": int(p[8]),
+            "min_words_in_sen": int(p[9]),
+            "max_words_in_sen": int(p[10]),
+            "inaudible_count": int(p[11]),
+            "questionable_count": int(p[12]),
+            "other_bracketed_notation_count": int(p[13]),
+            "redacted_count": int(p[14]),
+            "nonverbal_edits_count": float(p[15]),
+            "verbal_edits_count": float(p[16]),
+            "repeats_count": float(p[17]),
+            "restarts_count": float(p[18]),
+            "total_sentence_count": int(p[3]),
+            "final_timestamp_minutes": float(p[19]),
+            "min_timestamp_space_seconds": opt(p[20]),
+            "max_timestamp_space_seconds": opt(p[21]),
+            "min_timestamp_space_per_word": opt(p[22]),
+            "max_timestamp_space_per_word": opt(p[23]),
+            "txt_encoding_type": str(p[24]),
+        }
+
+    def _drain_due(self, conv_id: str, expiry_ms: int) -> list[dict]:
+        """Emit every buffered row whose due time the watermark has passed
+        (timer expiry == watermark crossing); keep the rest buffered."""
+        if not self.pending.exists():
+            return []
+        held = [tuple(p) for p in self.pending.get()]
+        due = [p for p in held if int(p[0]) <= expiry_ms]
+        if not due:
+            return []
+        rest = [p for p in held if int(p[0]) > expiry_ms]
+        if rest:
+            self.pending.put(rest)
+        else:
+            self.pending.clear()
+        due.sort(key=lambda p: (int(p[1]), int(p[2])))
+        return [self._pending_to_row(conv_id, p) for p in due]
 
     @staticmethod
     def _norm_agg(a) -> tuple:
@@ -299,11 +458,12 @@ class SessionQcProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         """Vectorized: numpy dedup mask -> session segmentation by ts diffs
         (with open-session carry-in) -> per-segment aggregate. Interior
-        segments never touch state; the open session's ValueState/ListState
-        are read/written once per batch."""
+        segments never touch the open-session state; closed sessions are
+        BUFFERED (``_defer``) and emitted by their event-time timer when the
+        watermark passes session_end + gap — the session_window cadence —
+        so this method itself emits nothing."""
         (conv_id,) = key
         chunks = [p for p in rows if len(p)]
-        out_rows: list[dict] = []
         kept = pd.DataFrame()
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
@@ -316,7 +476,9 @@ class SessionQcProcessor(StatefulProcessor):
             open_exists = self.agg.exists()
             open_end = int(self.agg.get()[1]) if open_exists else None
             if open_exists and int(ts[0]) - open_end > self.gap_us:
-                out_rows.append(self._flush(conv_id))  # close-on-next-event
+                row = self._flush(conv_id)  # close-on-next-event
+                if row is not None:
+                    self._defer(row)
                 open_exists = False
             if open_exists:
                 # while merged with the open session the running end is
@@ -342,31 +504,35 @@ class SessionQcProcessor(StatefulProcessor):
                         state_pairs = [(int(p[0]), int(p[1])) for p in self.pairs.get()]
                         self.agg.clear()
                         self.pairs.clear()
-                        out_rows.append(
+                        self._defer(
                             self._diary_row(conv_id, merged, state_pairs + pairs)
                         )
                 elif last:
                     self.agg.update(agg)
                     self.pairs.put(pairs)  # fresh open session
                 else:
-                    # pure in-batch session: aggregated and emitted without
-                    # ever transiting state
-                    out_rows.append(self._diary_row(conv_id, agg, pairs))
-        # (re-)arm the tail timer: fire when watermark passes end + gap
-        for t in self.handle.listTimers():
-            self.handle.deleteTimer(t)
+                    # pure in-batch session: aggregated and buffered without
+                    # its per-turn payload ever transiting state
+                    self._defer(self._diary_row(conv_id, agg, pairs))
+        # arm the open-session tail timer (stale earlier timers fire as
+        # harmless no-ops and auto-delete; deleting them here would also
+        # kill the buffered sessions' emission timers)
         if self.agg.exists():
-            end_ms = int(self.agg.get()[1]) // 1000
-            self.handle.registerTimer(end_ms + self.gap_us // 1000)
-        out_rows = [r for r in out_rows if r is not None]
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+            self.handle.registerTimer(self._due_ms(int(self.agg.get()[1])))
+        return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        """Watermark crossed this timer's instant: emit every buffered
+        session now due, plus the open session if its quiet period elapsed."""
         (conv_id,) = key
-        row = self._flush(conv_id)
-        if row is not None:
-            yield pd.DataFrame([row])
+        expiry = int(expiredTimerInfo.getExpiryTimeInMs())
+        out = self._drain_due(conv_id, expiry)
+        if self.agg.exists() and self._due_ms(int(self.agg.get()[1])) <= expiry:
+            row = self._flush(conv_id)
+            if row is not None:
+                out.append(row)
+        if out:
+            yield _emit_frame(out)
 
 
 def session_qc_aggregate_tws(

@@ -239,11 +239,11 @@ def test_session_agg_state_carries_no_turn_payload(spark, stream_input, cfg):
 
 
 def _protobuf_available() -> bool:
-    """transformWithStateInPandas spawns a python runner that requires
-    google.protobuf; this container has NO protobuf distribution on disk at
-    all (and installs are off-limits), so the TWS integration test is
-    env-gated — the processor LOGIC (dedup, segmentation, sums, timers) is
-    verified handle-free in the test_tws_* unit tests above."""
+    """transformWithStateInPandas spawns python runners that require
+    google.protobuf. The package's vendored pure-Python runtime
+    (daily_journal_dataflow_qc_spark/_vendor) satisfies this when the
+    container ships no protobuf, so this gate normally passes now; it
+    remains as a guard for environments where even the shim cannot load."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -342,6 +342,17 @@ class FakeHandle:
         return iter(list(self.timers))
 
 
+class FakeExpiredTimerInfo:
+    def __init__(self, expiry_ms):
+        self._e = expiry_ms
+
+    def getExpiryTimeInMs(self):
+        return self._e
+
+
+_FAR_FUTURE_MS = int(pd.Timestamp("2090-01-01").value // 1_000_000)
+
+
 def _tws_row(us_base, turn_idx, offset_s, wc=3, role="S1", violated=False):
     return {
         "ts_us": us_base + int(offset_s * 1e6),
@@ -399,14 +410,21 @@ def test_tws_processor_logic_matches_sessions(spark, cfg):
         }
 
     # session 1: turns 1-3 (with a verbatim re-delivery of 2); session 2
-    # starts 2h later (gap > 30min) -> eager flush of session 1
+    # starts 2h later (gap > 30min) -> session 1 CLOSES and is buffered; it
+    # EMITS only when its event-time timer fires (watermark-gated emission)
     batch1 = pd.DataFrame(
         [row(1, 0), row(2, 10, wc=5), row(2, 10, wc=5), row(3, 25, role="S2")]
     )
     out1 = list(proc.handleInputRows(("convX",), iter([batch1]), None))
     assert out1 == []  # session still open
     batch2 = pd.DataFrame([row(4, 7200), row(5, 7210)])
-    out2 = pd.concat(list(proc.handleInputRows(("convX",), iter([batch2]), None)))
+    assert list(proc.handleInputRows(("convX",), iter([batch2]), None)) == []
+    # drain exactly session 1's due instant: the open session must NOT flush
+    due1 = (us + int(25 * 1e6)) // 1000 + cfg.session_gap_minutes * 60 * 1000
+    assert due1 in handle.timers
+    out2 = pd.concat(
+        list(proc.handleExpiredTimer(("convX",), None, FakeExpiredTimerInfo(due1)))
+    )
     assert len(out2) == 1
     s1 = out2.iloc[0]
     assert s1["n_turns"] == 3  # duplicate removed
@@ -419,9 +437,15 @@ def test_tws_processor_logic_matches_sessions(spark, cfg):
     assert s1["final_timestamp_minutes"] == round(25 / 60.0, 3)
     assert not s1["any_violated"]
 
-    # tail session flushes on the (event-time) timer
-    assert len(handle.timers) == 1
-    out3 = pd.concat(list(proc.handleExpiredTimer(("convX",), None, None)))
+    # tail session flushes once the watermark passes ITS due instant
+    out3 = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                ("convX",), None, FakeExpiredTimerInfo(_FAR_FUTURE_MS)
+            )
+        )
+    )
+    assert len(out3) == 1
     s2 = out3.iloc[0]
     assert s2["n_turns"] == 2 and s2["word_count"] == 6
     assert np.isclose(s2["min_timestamp_space_seconds"], 10.0)
@@ -449,7 +473,13 @@ def test_tws_exact_dedup_keeps_late_turn_on_long_conversation(cfg):
     rows2 = [_tws_row(us, 300, 600), _tws_row(us, 17, 34)]
     assert list(proc.handleInputRows(("convL",), iter([pd.DataFrame(rows2)]), None)) == []
     assert not missing.m  # gap filled exactly once
-    out = pd.concat(list(proc.handleExpiredTimer(("convL",), None, None)))
+    out = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                ("convL",), None, FakeExpiredTimerInfo(_FAR_FUTURE_MS)
+            )
+        )
+    )
     assert out.iloc[0]["n_turns"] == 600  # 599 + the late fill, dup excluded
 
 
@@ -510,8 +540,9 @@ def test_tws_dedup_rejects_corrupt_index_jump(cfg):
 
 def test_tws_multi_session_batch_flushes_interior_segments(cfg):
     """One micro-batch spanning three sessions: the two complete sessions
-    emit immediately (the interior one without touching state), the last
-    stays open."""
+    close and are BUFFERED (the interior one without its per-turn payload
+    touching state), the last stays open; all three emit in due order once
+    the watermark passes their timers."""
     from daily_journal_dataflow_qc_spark.streaming.tws import SessionQcProcessor
 
     proc = SessionQcProcessor(gap_minutes=cfg.session_gap_minutes)
@@ -524,15 +555,25 @@ def test_tws_multi_session_batch_flushes_interior_segments(cfg):
          _tws_row(us, 3, 7200), _tws_row(us, 4, 7230),
          _tws_row(us, 5, 14400)]
     )
-    out = pd.concat(list(proc.handleInputRows(("convM",), iter([batch]), None)))
-    assert len(out) == 2
-    assert list(out["n_turns"]) == [2, 2]
+    assert list(proc.handleInputRows(("convM",), iter([batch]), None)) == []
+    # two closed sessions buffered; last segment is the open session
+    assert len(handle.states["pending"].items) == 2
+    assert handle.states["agg"].exists() and handle.states["agg"].get()[2] == 1
+    out = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                ("convM",), None, FakeExpiredTimerInfo(_FAR_FUTURE_MS)
+            )
+        )
+    )
+    assert len(out) == 3
+    assert list(out["n_turns"]) == [2, 2, 1]
     assert out.iloc[0]["word_count"] == 10 and out.iloc[0]["min_timestamp_space_seconds"] == 20.0
     assert out.iloc[1]["min_timestamp_space_seconds"] == 30.0
-    # last segment is the open session
-    assert handle.states["agg"].exists() and handle.states["agg"].get()[2] == 1
-    tail = pd.concat(list(proc.handleExpiredTimer(("convM",), None, None)))
-    assert tail.iloc[0]["n_turns"] == 1
+    # idempotent drain: a later stale timer finds nothing buffered
+    assert list(
+        proc.handleExpiredTimer(("convM",), None, FakeExpiredTimerInfo(_FAR_FUTURE_MS))
+    ) == []
 
 
 def test_tws_backend_matches_batch(spark, stream_input, synth_dir, cfg):
