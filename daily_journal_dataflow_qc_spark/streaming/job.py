@@ -17,8 +17,9 @@ Topology (single continuous job, checkpointed, exactly-once sinks):
            source slice covering just-closed sessions
 
     transcripts stream -> applyInPandasWithState(conv_id)                  [keyed validator]
-         monotone turn_idx high-watermark + count-min dedup sketch;
-         emits duplicate / out-of-order flag rows (O(1) state per conv)
+         monotone turn_idx high-watermark + exact missing-gap set (same
+         state shape as the TWS backend's dedup); emits duplicate /
+         out-of-order flag rows (O(gaps) state per conv)
 
     tool_calls stream (requests) x (returns): watermarked left-outer
          stream-stream join with a 14-day event-time range; requests that
@@ -77,10 +78,11 @@ def _streamed_files(checkpoint_loc: str, batch_id: int) -> list[str] | None:
     the log is unreadable — callers fall back to the full-dir read (the
     pre-compaction behavior).
 
-    Residual accepted divergence: a sub-watermark LATE row inside an admitted
-    file (dropped by the session aggregate, dropDuplicates/session_window)
-    can still be re-read if its ts lands inside a session closing this batch
-    — arrival-time-exact replay would need an arrival column in the source.
+    Sub-watermark LATE rows need no extra handling (measured semantics): a
+    late row either merged into its still-live session (counted by the
+    diary, so the rebuild must include it — it does, the file is admitted)
+    or arrived post-eviction and was dropped by the aggregate (it can never
+    match a later closing diary's bounds, sessions being > gap apart).
     """
     src = os.path.join(checkpoint_loc, "sources", "0")
     if not os.path.isdir(src):
@@ -296,6 +298,7 @@ def start_session_qc_query(
     key_store = (
         IncrementalKeyStore(output_root, "_tool_call_keys") if tool_calls_dir else None
     )
+    qc_checkpoint = os.path.join(output_root, "_checkpoint_qc")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         qc = compile_batch(batch_df, meta, cfg)
@@ -415,9 +418,7 @@ def start_session_qc_query(
                     F.max("session_end").alias("hi"),
                 ).head()
                 if bounds and bounds["lo"] is not None:
-                    admitted = _streamed_files(
-                        os.path.join(output_root, "_checkpoint_qc"), batch_id
-                    )
+                    admitted = _streamed_files(qc_checkpoint, batch_id)
                     reader = spark.read.schema(schemas.TRANSCRIPTS)
                     raw_src = (
                         reader.parquet(*admitted) if admitted else reader.parquet(input_dir)
@@ -435,6 +436,21 @@ def start_session_qc_query(
                         F.col("conv_id") == F.col("_prune_conv"),
                         "left_semi",
                     )
+                    # ARRIVAL-TIME EXACTNESS (measured, see
+                    # test_turn_stats_rebuild_watermark_exact_and_replay_
+                    # converges): a sub-watermark row MERGES into its session
+                    # if the session's state had not been evicted before the
+                    # row's admission batch — including the batch OF the
+                    # eviction itself — and is silently dropped by the
+                    # aggregate afterwards. Because this rebuild runs in the
+                    # eviction batch over exactly the files admitted by then,
+                    # every row matching a closing diary's bounds was either
+                    # merged (counted by the diary — include) or not yet
+                    # admitted (excluded by the scoping); post-eviction late
+                    # rows never match a later diary's bounds (sessions are
+                    # > gap apart). No further filter is needed; a fresh
+                    # REPLAY admits everything in one batch (no watermark)
+                    # and converges to the batch tier exactly.
                     dk = diary_keys.withColumnRenamed("conv_id", "_dk_conv")
                     sliced = raw.join(
                         F.broadcast(dk),
@@ -510,9 +526,9 @@ def start_validator_query(
     max_files_per_trigger: int | None = None,
     trigger_seconds: float | None = None,
 ):
-    """Launch the keyed per-conv stream validator (turn_idx HWM + count-min
-    dedup sketch; see streaming.state) writing duplicate/out-of-order flags
-    to an exactly-once sink."""
+    """Launch the keyed per-conv stream validator (turn_idx HWM + exact
+    missing-gap set; see streaming.state) writing duplicate/out-of-order
+    flags to an exactly-once sink."""
     _apply_stream_conf(spark)
     from .state import turn_stream_validator
 

@@ -1,21 +1,33 @@
 """Keyed per-conversation stream validator (north-star core data structure).
 
-``applyInPandasWithState`` keyed by conv_id, holding O(1) state per
+``applyInPandasWithState`` keyed by conv_id, holding O(gaps) state per
 conversation regardless of stream length (SURVEY §7.3.8 — never store seen
 turn-idx sets at 10^12-turn scale):
 
-* ``hwm``   — monotone turn_idx high-watermark,
-* ``sketch`` — a count-min sketch (D x W int64) used as an approximate
-  membership filter over turn indices already accepted.
+* ``hwm``     — monotone turn_idx high-watermark,
+* ``missing`` — the EXACT set of indices at/below the watermark never seen
+  (turn indices are per-conversation sequence numbers, so genuine drops are
+  rare and the set stays tiny; a corrupt index jump is refused via
+  MAX_GAP_RUN rather than materialized).
+
+This is the same exact-dedup state shape as the transformWithState backend
+(tws.py ``_dedup_batch``): round 3 replaced the TWS count-min sketch with
+it because the sketch saturates on long conversations, and the same
+critique applied to this validator's DUPLICATE/OUT_OF_ORDER labels — a
+saturated sketch would mislabel legitimate late arrivals as duplicates on
+10^9-turn conversations. Labels are now exact at any length.
 
 Per arriving turn (processed in (ts, turn_idx) order within the batch):
 
-* turn_idx >  hwm            -> normal advance (gaps allowed; the reference
-                                tolerates missing submissions),
-* turn_idx <= hwm, in sketch -> DUPLICATE flag (re-delivery),
-* turn_idx <= hwm, novel     -> OUT_OF_ORDER flag (late arrival below the
-                                watermark line; reference logs, never drops
-                                silently — journal_outputs_error_check.py),
+* turn_idx >  running hwm            -> normal advance (gaps allowed; the
+                                        reference tolerates missing
+                                        submissions),
+* previously seen (<= hwm, not in missing; or an in-batch repeat)
+                                     -> DUPLICATE flag (re-delivery),
+* novel at/below the running hwm     -> OUT_OF_ORDER flag (late arrival
+                                        below the watermark line; reference
+                                        logs, never drops silently —
+                                        journal_outputs_error_check.py).
 
 Graft of the reference's tracking-file protocol ("previously processed
 filename detected as new", mindlamp_accounting.py:196-198) without the
@@ -30,9 +42,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SKETCH_D = 4
-SKETCH_W = 128
-_PRIMES = np.array([1000003, 10000019, 100000007, 1000000007], dtype=np.int64)
+# largest tolerated single-advance of the turn-idx watermark (shared
+# contract with tws.MAX_GAP_RUN): beyond this a gap run is corrupt data
+MAX_GAP_RUN = 1_000_000
 
 FLAG_SCHEMA = T.StructType(
     [
@@ -45,41 +57,34 @@ FLAG_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("hwm", T.LongType(), False),
-        T.StructField("sketch", T.ArrayType(T.LongType()), False),
+        T.StructField("missing", T.ArrayType(T.LongType()), False),
     ]
 )
-
-
-def _positions(idx: np.ndarray) -> np.ndarray:
-    """(n, D) sketch slot positions for a vector of turn indices."""
-    return (idx[:, None] * _PRIMES[None, :SKETCH_D] + 17) % SKETCH_W
-
-
-def _slots(idx: np.ndarray) -> np.ndarray:
-    return np.arange(SKETCH_D)[None, :] * SKETCH_W + _positions(idx)
 
 
 def validate_conv(key, pdf_iter, state: GroupState):
     """Vectorized batch classification (no per-row Python on the hot path).
 
-    Equivalence to the sequential spec (advance / duplicate / out_of_order
-    processed in (ts, turn_idx) order):
-    * every FIRST in-batch occurrence of an idx is added to the sketch when
-      processed (whether as an advance or an out-of-order arrival), so a
-      later in-batch repeat is always a duplicate,
-    * an idx strictly above the running high-watermark (state hwm merged
-      with the in-batch prefix max) cannot be in the sketch — everything
-      added so far is <= that watermark — so 'advance' needs no sketch probe,
-    * a first occurrence at/below the watermark is a duplicate iff the
-      PERSISTENT sketch knows it (cross-batch re-delivery), else out-of-order
-      (and only then added, matching the sequential add-on-ooo rule).
+    Equivalence to the sequential seen-set spec:
+
+    * "previously seen" for the FIRST in-batch occurrence of an idx depends
+      only on batch-START state: seen iff idx <= start hwm AND idx not in
+      the start missing set (in-batch prior elements are all distinct from
+      a first occurrence); every non-first occurrence is a duplicate,
+    * advance vs out-of-order for novel elements uses the RUNNING watermark
+      (start hwm merged with the in-batch prefix max): a novel idx at/below
+      it arrived late,
+    * the new missing set is exact set algebra: (start missing ∪ the
+      integers the watermark jumped over) minus everything delivered in
+      this batch.
     """
     (conv_id,) = key
     if state.exists:
-        hwm, sketch_list = state.get
-        sketch = np.array(sketch_list, dtype=np.int64)
+        hwm, missing_list = state.get
+        hwm = int(hwm)
+        missing = np.array(missing_list, dtype=np.int64)
     else:
-        hwm, sketch = -1, np.zeros(SKETCH_D * SKETCH_W, dtype=np.int64)
+        hwm, missing = -1, np.empty(0, dtype=np.int64)
 
     # a large per-conv micro-batch spans multiple Arrow chunks: concat and
     # sort ONCE so the (ts, turn_idx) processing order is global, not
@@ -92,17 +97,25 @@ def validate_conv(key, pdf_iter, state: GroupState):
         idx = pdf["turn_idx"].to_numpy(dtype=np.int64)
 
         running = np.maximum.accumulate(np.concatenate(([hwm], idx)))[:-1]
-        advance = idx > running
         first_occ = ~pd.Series(idx).duplicated(keep="first").to_numpy()
-        in_sketch = sketch[_slots(idx)].min(axis=1) > 0
-        low = ~advance
-        dup = low & (~first_occ | in_sketch)
-        ooo = low & first_occ & ~in_sketch
+        novel = first_occ & ((idx > hwm) | np.isin(idx, missing))
+        dup = ~novel
+        ooo = novel & (idx <= running)
 
-        add = first_occ & ~in_sketch  # advances + first-seen ooo arrivals
-        if add.any():
-            np.add.at(sketch, _slots(idx[add]).ravel(), 1)
-        hwm = int(max(hwm, idx.max()))
+        new_hwm = int(max(hwm, idx.max()))
+        if new_hwm > hwm:
+            lo = max(hwm + 1, 1)  # 1-based turn indices (datagen contract)
+            if new_hwm - lo > MAX_GAP_RUN:
+                raise ValueError(
+                    f"turn_idx jumped from hwm={hwm} to {new_hwm} "
+                    f"(> MAX_GAP_RUN={MAX_GAP_RUN}): corrupt turn index — "
+                    "the missing-gap state tracks one entry per dropped "
+                    "turn and refuses unbounded jumps"
+                )
+            jumped = np.arange(lo, new_hwm + 1, dtype=np.int64)
+            missing = np.union1d(missing, jumped)
+        missing = np.setdiff1d(missing, idx, assume_unique=False)
+        hwm = new_hwm
 
         flagged = dup | ooo
         if flagged.any():
@@ -114,7 +127,7 @@ def validate_conv(key, pdf_iter, state: GroupState):
                 }
             )
 
-    state.update((int(hwm), [int(x) for x in sketch]))
+    state.update((int(hwm), [int(x) for x in missing]))
     if flags is not None:
         yield flags
 

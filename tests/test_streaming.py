@@ -137,8 +137,8 @@ def _run_validator_stream(spark, batches):
 
 def test_stateful_validator_flags(spark):
     """Duplicate and out-of-order turn_idx arrivals produce exactly the
-    expected flag rows, with HWM + sketch state surviving micro-batch
-    boundaries; monotone advance stays silent."""
+    expected flag rows, with HWM + exact missing-gap state surviving
+    micro-batch boundaries; monotone advance stays silent."""
 
     def rows(conv, idxs, t0):
         return pd.DataFrame(
@@ -165,6 +165,78 @@ def test_stateful_validator_flags(spark):
         (4, "out_of_order"),
     }, flags.to_dict("records")
     assert len(flags[flags.conv_id == "c2"]) == 0
+
+
+def test_validator_labels_exact_property():
+    """Property (hypothesis): across arbitrary batched delivery orders, the
+    validator's duplicate / out_of_order / silent-advance labels equal the
+    sequential seen-set spec EXACTLY — the guarantee the old count-min
+    sketch could not give on long conversations (saturation mislabeled
+    legitimate late arrivals as duplicates)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from daily_journal_dataflow_qc_spark.streaming.state import validate_conv
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(batches):
+        state = FakeGroupState()
+        seen: set[int] = set()
+        hwm = -1
+        for b in batches:
+            pdf = pd.DataFrame(
+                {
+                    "conv_id": ["c"] * len(b),
+                    "turn_idx": pd.array(b, dtype="int64"),
+                    "ts": pd.to_datetime(
+                        [f"2023-03-01 10:00:{i:02d}" for i in range(len(b))]
+                    ),
+                }
+            )
+            out = list(validate_conv(("c",), iter([pdf]), state))
+            got = (
+                pd.concat(out).groupby(["turn_idx", "kind"]).size().to_dict()
+                if out
+                else {}
+            )
+            # sequential seen-set reference (ts strictly increases with
+            # position, so the validator's (ts, turn_idx) sort is the
+            # delivery order)
+            want: dict = {}
+            for idx in b:
+                if idx in seen:
+                    want[(idx, "duplicate")] = want.get((idx, "duplicate"), 0) + 1
+                elif idx > hwm:
+                    seen.add(idx)
+                    hwm = idx
+                else:
+                    want[(idx, "out_of_order")] = want.get((idx, "out_of_order"), 0) + 1
+                    seen.add(idx)
+            assert got == want, (b, got, want)
+
+    run()
 
 
 def test_streaming_transcript_side_matches_batch(spark, stream_input, synth_dir, cfg):
@@ -604,6 +676,289 @@ def test_tws_backend_matches_batch(spark, stream_input, synth_dir, cfg):
         want,
         ["conv_id", "day", "daily_submission_number"],
         rounded_atol_cols={"length_minutes": 2e-3},
+    )
+
+
+def test_turn_stats_rebuild_watermark_exact_and_replay_converges(
+    spark, synth_dir, cfg
+):
+    """Arrival-time-exact late handling (round-3's documented divergence,
+    investigated and closed):
+
+    1. LIVE run with staged admission: a sub-watermark row admitted in the
+       SAME batch as its session's eviction MERGES into the session
+       (measured Spark semantics — sessions accept late rows while their
+       state lives). The diary counts it, and the foreachBatch turn-stats
+       rebuild — scoped to admitted files in the eviction batch — includes
+       it identically: per-diary turn_stats row counts equal the diary's
+       total_sentence_count for EVERY diary.
+    2. REPLAY from a fresh checkpoint (the reference's cron re-run,
+       mindlamp_accounting.py:154-158): everything admits in one batch, no
+       watermark exists, and the result equals the batch engine EXACTLY.
+
+    The post-eviction drop side is covered by
+    test_post_eviction_late_row_dropped_consistently.
+    """
+    import time as _time
+
+    from daily_journal_dataflow_qc_spark.pipeline import run_batch
+
+    root = "/tmp/djdq_late_input"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/transcripts")
+    tr = spark.read.parquet(f"{synth_dir}/transcripts.parquet")
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    max_ts = tr.agg(F.max("ts")).head()[0]
+
+    # inject the late row into a diary that actually REACHES the per-turn
+    # sink (accepted + returned + clean): pick one from the batch engine's
+    # own turn_stats, with >= 2 turns, early enough that the final
+    # watermark (max ts - 2 days) is far above the session
+    base_ts = run_batch_from_dir(spark, synth_dir, cfg).turn_stats.select(
+        "conv_id", "turn_idx", "day", "daily_submission_number"
+    ).toPandas()
+    sizes = base_ts.groupby(["conv_id", "day", "daily_submission_number"]).size()
+    target_conv = None
+    for (conv, day, dsn), n in sizes.items():
+        if n < 2:
+            continue
+        idxs = sorted(
+            base_ts[
+                (base_ts.conv_id == conv)
+                & (base_ts.day == day)
+                & (base_ts.daily_submission_number == dsn)
+            ].turn_idx
+        )[:2]
+        two = (
+            tr.filter((F.col("conv_id") == conv) & F.col("turn_idx").isin(idxs))
+            .orderBy("ts")
+            .toPandas()
+        )
+        if (
+            len(two) == 2
+            and (two.ts.iloc[1] - two.ts.iloc[0]).total_seconds() > 2
+            and two.ts.iloc[1] < pd.Timestamp(max_ts) - pd.Timedelta(days=3)
+        ):
+            target_conv = conv
+            late_ts = two.ts.iloc[0] + (two.ts.iloc[1] - two.ts.iloc[0]) / 2
+            break
+    assert target_conv is not None, "no suitable diary in the fixture"
+    late_idx = int(
+        tr.filter(F.col("conv_id") == target_conv).agg(F.max("turn_idx")).head()[0] + 1
+    )
+    late = spark.createDataFrame(
+        [
+            (
+                target_conv,
+                late_idx,
+                "S1",
+                "late arrival row",
+                None,
+                late_ts.to_pydatetime(),
+            )
+        ],
+        schema=tr.schema,
+    )
+
+    tr.repartition(6, "conv_id").write.mode("overwrite").parquet(f"{root}/transcripts")
+    _time.sleep(1.2)
+    late.coalesce(1).write.mode("append").parquet(f"{root}/transcripts")
+    _time.sleep(1.2)
+    sentinel = late.select(
+        F.lit("__sentinel__").alias("conv_id"),
+        F.lit(1).cast("int").alias("turn_idx"),
+        F.lit("S1").alias("role"),
+        F.lit("end").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2090-01-01 00:00:00")).alias("ts"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(f"{root}/transcripts")
+    os.makedirs(f"{root}/tool_calls")
+    spark.read.parquet(f"{synth_dir}/tool_calls.parquet").repartition(
+        4, "conv_id"
+    ).write.mode("overwrite").parquet(f"{root}/tool_calls")
+
+    # ---- live run: 6 main files in batch 0, then late file, then sentinel
+    out_live = "/tmp/djdq_late_out_live"
+    shutil.rmtree(out_live, ignore_errors=True)
+    q, sinks = start_session_qc_query(
+        spark, f"{root}/transcripts", out_live, conv_meta, cfg,
+        max_files_per_trigger=6, tool_calls_dir=f"{root}/tool_calls",
+    )
+    q.awaitTermination(600)
+    ts_live = sinks["turn_stats"].read(spark).toPandas()
+    tqc_live = sinks["transcript_qc"].read(spark).toPandas()
+    # the sub-watermark row MERGED: counted by the diary AND rebuilt
+    assert ((ts_live.conv_id == target_conv) & (ts_live.turn_idx == late_idx)).any()
+    # every diary's turn_stats row count equals its sentence count
+    got_counts = (
+        ts_live.groupby(["conv_id", "day", "daily_submission_number"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    want_counts = (
+        tqc_live.groupby(["conv_id", "day", "daily_submission_number"])[
+            "total_sentence_count"
+        ]
+        .sum()
+        .reset_index()
+    )
+    m = got_counts.merge(
+        want_counts, on=["conv_id", "day", "daily_submission_number"], how="outer"
+    )
+    assert not m.n.isna().any() and not m.total_sentence_count.isna().any()
+    assert (m.n == m.total_sentence_count).all(), m[m.n != m.total_sentence_count]
+
+    # ---- replay run (fresh checkpoint, single admission batch)
+    out_replay = "/tmp/djdq_late_out_replay"
+    shutil.rmtree(out_replay, ignore_errors=True)
+    q2, sinks2 = start_session_qc_query(
+        spark, f"{root}/transcripts", out_replay, conv_meta, cfg,
+        tool_calls_dir=f"{root}/tool_calls",
+    )
+    q2.awaitTermination(600)
+    ts_replay = sinks2["turn_stats"].read(spark).toPandas()
+    assert ((ts_replay.conv_id == target_conv) & (ts_replay.turn_idx == late_idx)).any()
+
+    batch = run_batch(
+        spark.read.parquet(f"{root}/transcripts"),
+        spark.read.parquet(f"{root}/tool_calls"),
+        conv_meta,
+        cfg,
+    )
+    compare_frames(ts_replay, batch.turn_stats.toPandas(), ["conv_id", "turn_idx"])
+    tqc_cols = [
+        "conv_id", "day", "daily_submission_number", "total_sentence_count",
+        "word_count", "min_timestamp_space_seconds", "max_timestamp_space_seconds",
+    ]
+    compare_frames(
+        sinks2["transcript_qc"].read(spark).select(*tqc_cols).toPandas(),
+        batch.transcript_qc.select(*tqc_cols).toPandas(),
+        ["conv_id", "day", "daily_submission_number"],
+    )
+
+
+def test_post_eviction_late_row_dropped_consistently(spark, cfg):
+    """A sub-watermark row arriving AFTER its session's state was evicted
+    is silently dropped by the session aggregate (measured semantics) — and
+    the turn-stats rebuild never resurrects it: the live tier stays
+    internally exact (turn counts == diary counts), the batch tier counts
+    the row, and a fresh REPLAY converges to the batch tier (the
+    reference's cron re-run model)."""
+    import time as _time
+
+    from daily_journal_dataflow_qc_spark import schemas
+    from daily_journal_dataflow_qc_spark.pipeline import run_batch
+
+    root = "/tmp/djdq_postevict"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/transcripts")
+    os.makedirs(f"{root}/tool_calls")
+
+    T = pd.Timestamp("2023-01-01 10:00:00")
+
+    def write_rows(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{root}/transcripts")
+        _time.sleep(1.2)
+
+    # b0: convZ session (2 turns) + a high-ts convW row advancing the watermark
+    write_rows(
+        [
+            ("convZ", 1, "S1", "hello there world", None, T.to_pydatetime()),
+            ("convZ", 2, "S1", "second turn text", None,
+             (T + pd.Timedelta(seconds=60)).to_pydatetime()),
+            ("convW", 1, "S1", "w", None,
+             pd.Timestamp("2023-03-05 10:00:00").to_pydatetime()),
+        ]
+    )
+    # b1: filler — convZ's session evicts during this batch
+    write_rows(
+        [("convW", 2, "S1", "w2", None,
+          pd.Timestamp("2023-03-05 10:01:00").to_pydatetime())]
+    )
+    # b2: the POST-EVICTION late row inside convZ's already-emitted session
+    write_rows(
+        [("convZ", 99, "S1", "late arrival", None,
+          (T + pd.Timedelta(seconds=30)).to_pydatetime())]
+    )
+    # b3: far-future sentinel closes everything
+    write_rows(
+        [("__sentinel__", 1, "S1", "end", None,
+          pd.Timestamp("2090-01-01 00:00:00").to_pydatetime())]
+    )
+
+    conv_meta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["convZ", "convW"],
+                "consent_date": [T.date(), pd.Timestamp("2023-03-05").date()],
+                "timezone": ["UTC", "UTC"],
+                "language": ["ENGLISH", "ENGLISH"],
+                "db_level": [60.0, 60.0],
+                "duration_sec": [120.0, 120.0],
+                "flatness": [0.1, 0.1],
+            }
+        )
+    )
+    # tool-call round trip under the language-marked exchange name (S10)
+    marked = "convZ_audioJournal_day0001_ENGLISH_submission1.wav"
+    tc = pd.DataFrame(
+        {
+            "conv_id": ["convZ", "convZ"],
+            "request_key": [marked, marked],
+            "kind": ["request", "return"],
+            "tool": ["transcribeme", "transcribeme"],
+            "ts": [
+                (T + pd.Timedelta(hours=1)).tz_localize("UTC"),
+                (T + pd.Timedelta(hours=2)).tz_localize("UTC"),
+            ],
+            "payload": [None, None],
+        }
+    )
+    spark.createDataFrame(tc, schema=schemas.TOOL_CALLS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/tool_calls")
+
+    out_live = "/tmp/djdq_postevict_live"
+    shutil.rmtree(out_live, ignore_errors=True)
+    q, sinks = start_session_qc_query(
+        spark, f"{root}/transcripts", out_live, conv_meta, cfg,
+        max_files_per_trigger=1, tool_calls_dir=f"{root}/tool_calls",
+    )
+    q.awaitTermination(600)
+    ts_live = sinks["turn_stats"].read(spark).toPandas()
+    tqc_live = sinks["transcript_qc"].read(spark).toPandas()
+    z = tqc_live[tqc_live.conv_id == "convZ"]
+    assert len(z) == 1 and int(z.total_sentence_count.iloc[0]) == 2
+    zt = ts_live[ts_live.conv_id == "convZ"]
+    assert sorted(zt.turn_idx) == [1, 2], zt  # late idx 99 nowhere
+    # batch tier counts the late row — the divergence is exactly that row
+    batch = run_batch(
+        spark.read.parquet(f"{root}/transcripts"),
+        spark.read.parquet(f"{root}/tool_calls"),
+        conv_meta,
+        cfg,
+    )
+    bt = batch.transcript_qc.toPandas()
+    assert int(bt[bt.conv_id == "convZ"].total_sentence_count.iloc[0]) == 3
+    # replay (fresh checkpoint, one admission batch) converges to batch
+    out_replay = "/tmp/djdq_postevict_replay"
+    shutil.rmtree(out_replay, ignore_errors=True)
+    q2, sinks2 = start_session_qc_query(
+        spark, f"{root}/transcripts", out_replay, conv_meta, cfg,
+        tool_calls_dir=f"{root}/tool_calls",
+    )
+    q2.awaitTermination(600)
+    ts_replay = sinks2["turn_stats"].read(spark).toPandas()
+    assert sorted(ts_replay[ts_replay.conv_id == "convZ"].turn_idx) == [1, 2, 99]
+    compare_frames(
+        ts_replay, batch.turn_stats.toPandas(), ["conv_id", "turn_idx"]
     )
 
 
