@@ -31,8 +31,8 @@ BENCH_QUERIES = [
     "sessionization",
     "lead_gaps",
     "tumbling_4am",
-    "word_stats",
-    "nonverbal_regex",
+    "text_metrics",
+    "text_analysis",
     "minhash_signature",
     "embedding_nn",
     "dedup_exact_docs",

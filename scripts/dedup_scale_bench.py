@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Scale bench for the dedup / near-dup / ANN tier (the LLM-training-data
+operators): substantiates the O(bucket-collision mass) claim with a
+MEASUREMENT — docs-N, wall per op, and the bucket-size distribution — at
+two (or more) scales, per the round-3 review ask.
+
+Input construction is deterministic JVM-side scale-out of the driver's
+documents/embeddings tables ($SPARK_GRAFT_SF_DIR, default sf0.1 = 5,000
+docs / 2,000 vectors):
+
+* each document is replicated R times with a per-replica token suffix so
+  shingle sets (and minhash bands) genuinely differ — EXCEPT every 10th
+  replica, which stays verbatim: the corpus carries a real near-dup mass
+  (~10%% of rows are member of an exact-duplicate group) like a web crawl,
+* each embedding is replicated with a small deterministic per-coordinate
+  perturbation (seeded by (vec_id, replica, coord) hashing), preserving
+  near-neighbor structure while growing the table.
+
+Usage:
+  python scripts/dedup_scale_bench.py [docs_replicas ...]   # default: 10 100
+
+Prints one JSON line per scale:
+  {"n_docs": N, "walls": {op: sec}, "lsh_buckets": {...}, "ann_buckets": {...},
+   "candidate_pairs": P, "near_dup_pairs": D}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from daily_journal_dataflow_qc_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_pairs,
+        simhash,
+    )
+    from daily_journal_dataflow_qc_spark.operators.similarity import lsh_bucketed_knn
+    from daily_journal_dataflow_qc_spark.session import get_spark
+
+    replicas_list = [int(x) for x in sys.argv[1:]] or [10, 100]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="djdq-dedup-scale")
+
+    base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_base = base_docs.count()
+
+    def mat(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    for replicas in replicas_list:
+        rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+        docs = (
+            base_docs.select("doc_id", "text", rep)
+            .select(
+                (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+                # every 10th replica verbatim (real duplicate mass); others
+                # get a replica-unique token so shingles/bands differ
+                F.when(F.col("rep") % 10 == 0, F.col("text"))
+                .otherwise(
+                    F.concat(F.col("text"), F.format_string(" rep%d tail", F.col("rep")))
+                )
+                .alias("text"),
+            )
+        )
+        docs.persist()
+        n_docs = docs.count()
+
+        emb = (
+            base_emb.select("vec_id", "embedding", rep)
+            .select(
+                (F.col("vec_id") * replicas + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("rep"), i), F.lit(1000)
+                        ).cast("double")
+                        - 500.0
+                    )
+                    / 50000.0,
+                ).alias("embedding"),
+            )
+        )
+        emb.persist()
+        n_vecs = emb.count()
+
+        walls: dict[str, float] = {}
+
+        def timed(name, df):
+            t0 = time.time()
+            mat(df)
+            walls[name] = round(time.time() - t0, 2)
+
+        timed("exact_dedup", exact_dedup(docs))
+        sig = minhash_signatures(docs, n_hashes=8, shingle_k=3)
+        timed("minhash_signatures", sig)
+        cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+        t0 = time.time()
+        n_cand = cand.count()
+        walls["lsh_candidate_pairs"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        n_near = near_dup_pairs(docs, threshold=0.7, n_hashes=8, bands=4).count()
+        walls["near_dup_pairs"] = round(time.time() - t0, 2)
+        timed("simhash", docs.select("doc_id", simhash(F.lower(F.col("text")), 16).alias("s")))
+
+        # bucket-size distribution of the banded LSH join (the quantity the
+        # pair space actually depends on — sum over buckets of |b|^2)
+        band_cols = []
+        for b in range(4):
+            parts = [F.col(f"mh{b * 2 + r}").cast("string") for r in range(2)]
+            band_cols.append(
+                F.struct(F.lit(b).alias("band_idx"), F.concat_ws("_", *parts).alias("h"))
+            )
+        buckets = (
+            sig.select(F.explode(F.array(*band_cols)).alias("band"))
+            .groupBy("band.band_idx", "band.h")
+            .count()
+        )
+        lsh_stats = buckets.agg(
+            F.count("*").alias("n_buckets"),
+            F.max("count").alias("max"),
+            F.expr("percentile(count, 0.99)").alias("p99"),
+            F.round(F.avg("count"), 2).alias("mean"),
+            F.sum(F.col("count") * F.col("count")).alias("collision_mass"),
+        ).head().asDict()
+
+        # ANN: planes scale with log2(N) (operator default), 8 tables
+        t0 = time.time()
+        ann = lsh_bucketed_knn(emb, n_tables=8, seed=42, n_rows_hint=n_vecs)
+        n_ann = ann.count()
+        walls["lsh_bucketed_ann"] = round(time.time() - t0, 2)
+        import math as _m
+
+        n_planes = max(4, int(_m.ceil(_m.log2(max(n_vecs, 2)))))
+        ann_buckets = None  # reconstructed signature histogram
+        # reuse the operator's deterministic signatures: recompute bucket
+        # histogram relationally from the same planes
+        import numpy as np
+
+        first = base_emb.select("embedding").head()
+        dim = len(first[0])
+        rng = np.random.default_rng(42)
+        planes = rng.standard_normal((dim, n_planes * 8))
+        pl = [[float(v) for v in planes[:, t * n_planes + i]] for t in range(8) for i in range(n_planes)]
+        # bucket id per (table): sum over planes of bit * 2^i computed JVM-side
+        terms = []
+        for t in range(8):
+            bits = []
+            for i in range(n_planes):
+                vec = F.array(*[F.lit(v) for v in pl[t * n_planes + i]])
+                dot = F.aggregate(
+                    F.zip_with("embedding", vec, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            terms.append(
+                F.struct(F.lit(t).alias("tbl"), sum_cols(bits).alias("bucket"))
+            )
+        sig_e = emb.select(F.explode(F.array(*terms)).alias("s")).groupBy(
+            "s.tbl", "s.bucket"
+        ).count()
+        ann_buckets = sig_e.agg(
+            F.count("*").alias("n_buckets"),
+            F.max("count").alias("max"),
+            F.expr("percentile(count, 0.99)").alias("p99"),
+            F.round(F.avg("count"), 2).alias("mean"),
+        ).head().asDict()
+
+        print(
+            json.dumps(
+                {
+                    "n_base_docs": n_base,
+                    "replicas": replicas,
+                    "n_docs": n_docs,
+                    "n_vecs": n_vecs,
+                    "walls": walls,
+                    "candidate_pairs": n_cand,
+                    "near_dup_pairs": n_near,
+                    "ann_rows": n_ann,
+                    "ann_n_planes": n_planes,
+                    "lsh_buckets": {k: float(v) for k, v in lsh_stats.items()},
+                    "ann_buckets": {k: float(v) for k, v in ann_buckets.items()},
+                }
+            ),
+            flush=True,
+        )
+        docs.unpersist()
+        emb.unpersist()
+
+
+def sum_cols(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,73 @@ def test_session_aggregate_is_partial(spark, synth_dir, cfg):
         1 for l in plan.splitlines() if "Exchange" in l and "BroadcastExchange" not in l
     )
     assert n_shuffles <= 1, plan
+
+
+def test_streaming_topology_plan_shape(spark, stream_input, synth_dir, cfg):
+    """Streaming analogue of the heavy-pass guard: the executed micro-batch
+    plan of the session-QC stream must keep exactly ONE Python boundary
+    (the redaction UDF in turn_projection, placed before the stateful
+    chain), no SortMergeJoin anywhere, and the expected stateful operators
+    (dedup-within-watermark + session-window aggregate)."""
+    import shutil
+
+    from daily_journal_dataflow_qc_spark.streaming.job import start_session_qc_query
+
+    import time
+
+    out_root = "/tmp/djdq_plan_guard_stream"
+    shutil.rmtree(out_root, ignore_errors=True)
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    q, _ = start_session_qc_query(
+        spark, f"{stream_input}/transcripts", out_root, conv_meta, cfg,
+        trigger_seconds=1.0,
+    )
+    # capture the physical plan of a DATA-BEARING batch (the trailing
+    # watermark-close batch is empty and prunes the Python projection)
+    plan = None
+    deadline = time.time() + 300
+    try:
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("numInputRows", 0) > 0:
+                plan = q._jsq.explainInternal(False)
+                if "ArrowEvalPython" in plan:
+                    break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    assert plan is not None, "no data-bearing micro-batch observed"
+
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "SessionWindowStateStoreSave" in plan, plan
+    assert "StreamingDeduplicateWithinWatermark" in plan, plan
+
+
+def test_compile_batch_joins_broadcast(spark, synth_dir, cfg):
+    """The foreachBatch compile stage must broadcast the conv_meta
+    dimension — a SortMergeJoin here would re-sort every micro-batch."""
+    import pandas as pd
+
+    from daily_journal_dataflow_qc_spark.streaming.job import compile_batch
+
+    diary_rows = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["conv00001"],
+                "session_start": [pd.Timestamp("2023-03-01 10:00:00", tz="UTC")],
+                "session_end": [pd.Timestamp("2023-03-01 10:05:00", tz="UTC")],
+                "n_turns": [3],
+            }
+        )
+    )
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    plan = (
+        compile_batch(diary_rows, conv_meta, cfg)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -108,3 +108,111 @@ def test_clear_resolved_push_errors(spark, cfg):
     # an UNRESOLVED upload-failed row is kept
     kept = clear_resolved_push_errors(issues, tc, conv_lang).toPandas()
     assert (kept.error_message == MSG_UPLOAD_FAILED).sum() == 1
+
+
+def test_push_attempts_ignore_verbatim_redeliveries(spark):
+    """Duplicate tool-call rows are verbatim re-deliveries (same ts) and
+    must NOT inflate the attempt count toward the upload-failed flag;
+    genuine retries (>= 5s backoff, distinct ts) still count."""
+    rows = []
+    for a in range(3):
+        row = ("c9", MARKED_1, "request", "transcribeme",
+               pd.Timestamp("2023-03-01 10:00:00") + pd.Timedelta(seconds=5 * a), None)
+        rows.append(row)
+        rows.append(row)  # re-delivered verbatim
+    pdf = pd.DataFrame(rows, columns=["conv_id", "request_key", "kind", "tool", "ts", "payload"])
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    tc = spark.createDataFrame(pdf, schema=schemas.TOOL_CALLS)
+    att = push_attempt_stats(tc).collect()[0]
+    assert att["n_attempts"] == 3
+
+
+def test_clear_resolved_return_errors(spark):
+    """manual_update_utilities/transcribeme_return_error_clear.py parity:
+    a stale 'pending return > 2 weeks' row clears ONLY when the file left
+    the pending area AND its transcript exists; still-pending and
+    transcript-less files keep their flags, other issues survive verbatim."""
+    from daily_journal_dataflow_qc_spark.operators.transcript import (
+        clear_resolved_return_errors,
+    )
+
+    issues = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # resolved: not pending anymore + transcript present -> clears
+                ("c1", "f1.wav", MSG_PENDING),
+                # still pending -> kept (TranscribeMe may genuinely never return)
+                ("c1", "f2.wav", MSG_PENDING),
+                # left pending but NO transcript -> kept
+                ("c2", "f3.wav", MSG_PENDING),
+                # unrelated issue -> kept verbatim
+                ("c1", "f1.wav", "Redaction convention violated in file, please review manually"),
+            ],
+            columns=["conv_id", "filename", "error_message"],
+        )
+    )
+    pending = spark.createDataFrame(
+        pd.DataFrame([("c1", "f2.wav")], columns=["conv_id", "filename"])
+    )
+    transcripts = spark.createDataFrame(
+        pd.DataFrame([("c1", "f1.wav"), ("c1", "f2.wav")], columns=["conv_id", "filename"])
+    )
+    out = clear_resolved_return_errors(issues, pending, transcripts).toPandas()
+    keys = set(zip(out.conv_id, out.filename, out.error_message))
+    assert ("c1", "f1.wav", MSG_PENDING) not in keys
+    assert ("c1", "f2.wav", MSG_PENDING) in keys
+    assert ("c2", "f3.wav", MSG_PENDING) in keys
+    assert len(out) == 3
+
+
+def test_mindlamp_json_bug_adjust(spark):
+    """manual_update_utilities/mindlamp_json_bug_adjust.py parity: orphaned
+    MP3 rows drop from the MP3 accounting, their JSONs (name transform
+    <stem>_sound... -> <stem>.json) drop from the JSON accounting so they
+    reprocess, and every orphan-return issue row clears."""
+    from daily_journal_dataflow_qc_spark.operators.compile import MSG_ORPHAN_RETURN
+    from daily_journal_dataflow_qc_spark.operators.transcript import (
+        mindlamp_json_bug_adjust,
+    )
+
+    mp3 = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c1", "u1_2023_01_02_sound_7.mp3", True),
+                ("c1", "u1_2023_01_03_sound_9.mp3", False),  # orphan
+                ("c2", "u2_2023_01_05_sound_1.mp3", False),  # orphan
+            ],
+            columns=["conv_id", "found_mp3_name", "json_record_existence_check"],
+        )
+    )
+    jsons = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c1", "u1_2023_01_02.json"),
+                ("c1", "u1_2023_01_03.json"),  # must drop (reprocess)
+                ("c2", "u2_2023_01_05.json"),  # must drop
+                ("c2", "u2_2023_01_06.json"),
+            ],
+            columns=["conv_id", "json_filename"],
+        )
+    )
+    issues = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c1", "u1_2023_01_03_sound_9.mp3", MSG_ORPHAN_RETURN),
+                ("c1", "x.wav", MSG_PENDING),
+            ],
+            columns=["conv_id", "filename", "error_message"],
+        )
+    )
+    mp3_keep, json_keep, issues_keep = mindlamp_json_bug_adjust(mp3, jsons, issues)
+    assert [r["found_mp3_name"] for r in mp3_keep.collect()] == [
+        "u1_2023_01_02_sound_7.mp3"
+    ]
+    assert sorted(r["json_filename"] for r in json_keep.collect()) == [
+        "u1_2023_01_02.json",
+        "u2_2023_01_06.json",
+    ]
+    kept_issues = issues_keep.toPandas()
+    assert MSG_ORPHAN_RETURN not in set(kept_issues.error_message)
+    assert len(kept_issues) == 1
