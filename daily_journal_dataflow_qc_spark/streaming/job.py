@@ -301,24 +301,50 @@ def start_session_qc_query(
     qc_checkpoint = os.path.join(output_root, "_checkpoint_qc")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if all(s.committed(batch_id) for s in sinks.values()):
+            # checkpoint replay where EVERY sink already committed this
+            # batch: the writes would all no-op, leaving the micro-batch's
+            # DataFrame unconsumed — and the upstream stateful operators
+            # (dedup + session window) would then never commit their state
+            # for this batch (Spark 4's state-store commit validation fails
+            # the query exactly for this). Materialize once (noop sink) so
+            # the stateful lineage processes every partition, then return.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         qc = compile_batch(batch_df, meta, cfg)
         qc = qc.persist()
+        persisted = [qc]
         try:
-            sinks["audio_qc"].write(qc.drop("_ts_wc"), batch_id)
+            # the three diary-level sinks derive independently from the
+            # persisted qc frame: run their write actions CONCURRENTLY.
+            # Per-trigger wall at small batch sizes is dominated by a fixed
+            # per-JOB term (planning + scheduling + sink commit), so
+            # overlapping the jobs shaves the serial floor the streaming
+            # strong-scaling decomposition identified; the sinks are
+            # separate IdempotentBatchSink instances (independent manifest
+            # files), so concurrent commits stay exactly-once.
             accepted = qc.filter(F.col("audio_approved_bool") == 1)
-            sinks["accepted"].write(accepted.drop("_ts_wc"), batch_id)
-            sinks["rejected"].write(
-                qc.filter(F.col("audio_approved_bool") != 1).select(
-                    "conv_id",
-                    "day",
-                    "daily_submission_number",
-                    "overall_db",
-                    "length_minutes",
-                    "submit_hour_int",
-                    "subject_consent_month",
-                ),
-                batch_id,
+            rejected = qc.filter(F.col("audio_approved_bool") != 1).select(
+                "conv_id",
+                "day",
+                "daily_submission_number",
+                "overall_db",
+                "length_minutes",
+                "submit_hour_int",
+                "subject_consent_month",
             )
+            with ThreadPoolExecutor(3) as pool:
+                futures = [
+                    pool.submit(sinks["audio_qc"].write, qc.drop("_ts_wc"), batch_id),
+                    pool.submit(
+                        sinks["accepted"].write, accepted.drop("_ts_wc"), batch_id
+                    ),
+                    pool.submit(sinks["rejected"].write, rejected, batch_id),
+                ]
+                for f in futures:
+                    f.result()
             if tool_calls_dir:
                 # returned gating: round trip complete as of this batch.
                 # INCREMENTAL: only tool-call files not yet ingested are
@@ -350,45 +376,57 @@ def start_session_qc_query(
                     req.join(ret, ["conv_id", "_tool_key"], "left_semi"),
                     ["conv_id", "_tool_key"],
                     "left_semi",
-                ).drop("_tool_key")
-                sinks["violations"].write(
-                    returned.filter(F.col("any_violated")).select(
-                        "conv_id", "day", "daily_submission_number", "filename"
-                    ),
-                    batch_id,
-                )
+                ).drop("_tool_key").persist()
+                persisted.append(returned)
                 clean = returned.filter(~F.col("any_violated"))
-                sinks["transcript_qc"].write(clean.select(*tqc_cols), batch_id)
                 # disfluency summary (phone_transcript_sentence_stats.py:97-118;
                 # length_minutes carries overall_db — the reproduced bug)
                 total = (
                     F.col("nonverbal_edits_count") + F.col("verbal_edits_count")
                     + F.col("repeats_count") + F.col("restarts_count")
                 )
-                sinks["disfluencies"].write(
-                    clean.select(
-                        "conv_id",
-                        "day",
-                        "daily_submission_number",
-                        F.concat(
-                            F.regexp_replace("filename", "\\.wav$", ""),
-                            F.lit("_REDACTED_withSentenceStats.csv"),
-                        ).alias("transcript_csv_name"),
-                        F.col("overall_db").alias("length_minutes"),
-                        F.col("word_count").cast("double").alias("total_word_count"),
-                        "nonverbal_edits_count",
-                        "verbal_edits_count",
-                        "repeats_count",
-                        "restarts_count",
-                        total.alias("total_disfluencies"),
-                        (F.col("nonverbal_edits_count") / F.col("word_count")).alias("nonverbal_edits_per_word"),
-                        (F.col("verbal_edits_count") / F.col("word_count")).alias("verbal_edits_per_word"),
-                        (F.col("repeats_count") / F.col("word_count")).alias("repeats_per_word"),
-                        (F.col("restarts_count") / F.col("word_count")).alias("restarts_per_word"),
-                        (total / F.col("overall_db")).alias("disfluencies_per_minute"),
-                    ),
-                    batch_id,
+                disf = clean.select(
+                    "conv_id",
+                    "day",
+                    "daily_submission_number",
+                    F.concat(
+                        F.regexp_replace("filename", "\\.wav$", ""),
+                        F.lit("_REDACTED_withSentenceStats.csv"),
+                    ).alias("transcript_csv_name"),
+                    F.col("overall_db").alias("length_minutes"),
+                    F.col("word_count").cast("double").alias("total_word_count"),
+                    "nonverbal_edits_count",
+                    "verbal_edits_count",
+                    "repeats_count",
+                    "restarts_count",
+                    total.alias("total_disfluencies"),
+                    (F.col("nonverbal_edits_count") / F.col("word_count")).alias("nonverbal_edits_per_word"),
+                    (F.col("verbal_edits_count") / F.col("word_count")).alias("verbal_edits_per_word"),
+                    (F.col("repeats_count") / F.col("word_count")).alias("repeats_per_word"),
+                    (F.col("restarts_count") / F.col("word_count")).alias("restarts_per_word"),
+                    (total / F.col("overall_db")).alias("disfluencies_per_minute"),
                 )
+                # the three transcript-side sinks derive independently from
+                # the persisted returned frame: overlap their jobs (same
+                # fixed-per-job rationale as the diary-level sinks above)
+                with ThreadPoolExecutor(3) as pool:
+                    futures = [
+                        pool.submit(
+                            sinks["violations"].write,
+                            returned.filter(F.col("any_violated")).select(
+                                "conv_id", "day", "daily_submission_number", "filename"
+                            ),
+                            batch_id,
+                        ),
+                        pool.submit(
+                            sinks["transcript_qc"].write,
+                            clean.select(*tqc_cols),
+                            batch_id,
+                        ),
+                        pool.submit(sinks["disfluencies"].write, disf, batch_id),
+                    ]
+                    for f in futures:
+                        f.result()
                 # per-turn stats: REBUILT from a filtered re-read of the
                 # source slice covering exactly the clean closed diaries —
                 # per-turn payloads (especially text) never transit streaming
@@ -507,7 +545,8 @@ def start_session_qc_query(
                     turn_rows = spark.createDataFrame([], schemas.TURN_STATS)
                 sinks["turn_stats"].write(turn_rows, batch_id)
         finally:
-            qc.unpersist()
+            for df in persisted:
+                df.unpersist()
 
     q = (
         diary_stream.writeStream.outputMode("append")
@@ -538,9 +577,18 @@ def start_validator_query(
     turns = reader.parquet(input_dir)
     flags = turn_stream_validator(turns)
     sink = IdempotentBatchSink(output_root, "turn_flags")
+
+    def write_flags(df: DataFrame, bid: int) -> None:
+        if sink.committed(bid):
+            # replayed batch: still consume every partition so the keyed
+            # state commits (see write_batch's replay note)
+            df.write.format("noop").mode("overwrite").save()
+            return
+        sink.write(df, bid)
+
     q = (
         flags.writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: sink.write(df, bid))
+        .foreachBatch(write_flags)
         .option("checkpointLocation", os.path.join(output_root, "_checkpoint_validator"))
         .trigger(**_trigger_kwargs(trigger_seconds))
         .start()
@@ -613,6 +661,11 @@ def start_pending_flags_query(
     checkpoint = os.path.join(output_root, "_checkpoint_pending")
 
     def write_pending(df: DataFrame, batch_id: int) -> None:
+        if sink.committed(batch_id):
+            # replayed batch: still consume every partition so the join /
+            # dedup state commits (see write_batch's replay note)
+            df.write.format("noop").mode("overwrite").save()
+            return
         admitted = _streamed_files(checkpoint, batch_id)
         reader = spark.read.schema(schemas.TOOL_CALLS)
         tcb = reader.parquet(*admitted) if admitted else reader.parquet(tool_calls_dir)

@@ -58,10 +58,15 @@ def main() -> None:
     def mat(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    cores = spark.sparkContext.defaultParallelism
     for replicas in replicas_list:
         rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+        # repartition BEFORE the replica explode: the base table is one tiny
+        # parquet file (one leaf partition), and an explode never re-splits —
+        # without this the whole scaled corpus runs on a single task
         docs = (
-            base_docs.select("doc_id", "text", rep)
+            base_docs.repartition(cores * 2, "doc_id")
+            .select("doc_id", "text", rep)
             .select(
                 (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
                 # every 10th replica verbatim (real duplicate mass); others
@@ -77,7 +82,8 @@ def main() -> None:
         n_docs = docs.count()
 
         emb = (
-            base_emb.select("vec_id", "embedding", rep)
+            base_emb.repartition(cores * 2, "vec_id")
+            .select("vec_id", "embedding", rep)
             .select(
                 (F.col("vec_id") * replicas + F.col("rep")).alias("vec_id"),
                 F.transform(

@@ -58,11 +58,23 @@ def test_streaming_qc_matches_batch(spark, stream_input, synth_dir, cfg):
 
 
 def test_streaming_exactly_once_kill_resume(spark, stream_input, synth_dir, cfg):
-    """Kill after the first micro-batches, restart from the checkpoint:
-    final committed row set identical to an uninterrupted run with the SAME
-    time-ordered batching (per-batch submission rank is batching-dependent by
-    design — reference semantics, SURVEY §7.3.1)."""
+    """Kill after the first micro-batches, restart from the checkpoint.
+
+    Exactly-once contract asserted on the final committed row set vs an
+    uninterrupted run: NO session lost, NONE duplicated (the (conv, day,
+    session-identity) sets are equal), and every batching-independent
+    column identical. Emission BATCHING itself is not restart-stable
+    (Spark may regroup the tail emissions after a restart — measured),
+    and daily_submission_number is a per-ingest-batch rank BY DESIGN
+    (reference semantics, SURVEY §7.3.1), so the rank column is asserted
+    for internal validity (the day's earliest session ranks 1) rather than
+    cross-run equality."""
     conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    cols = [
+        "conv_id", "day", "submit_hour_int", "timeofday", "weekday",
+        "length_minutes", "overall_db", "mean_flatness",
+        "subject_consent_month", "daily_submission_number",
+    ]
 
     base_root = "/tmp/djdq_stream_base"
     shutil.rmtree(base_root, ignore_errors=True)
@@ -71,7 +83,7 @@ def test_streaming_exactly_once_kill_resume(spark, stream_input, synth_dir, cfg)
         max_files_per_trigger=1,
     )
     q.awaitTermination(600)
-    baseline = base_sinks["audio_qc"].read(spark).select(*QC_COMPARE_COLS).toPandas()
+    baseline = base_sinks["audio_qc"].read(spark).select(*cols).toPandas()
 
     kill_root = "/tmp/djdq_stream_kill"
     shutil.rmtree(kill_root, ignore_errors=True)
@@ -94,13 +106,39 @@ def test_streaming_exactly_once_kill_resume(spark, stream_input, synth_dir, cfg)
         max_files_per_trigger=1,
     )
     q3.awaitTermination(600)
-    resumed = sinks3["audio_qc"].read(spark).select(*QC_COMPARE_COLS).toPandas()
+    resumed = sinks3["audio_qc"].read(spark).select(*cols).toPandas()
+
+    # session identity: (conv, day, timeofday) is unique per emitted diary
+    # (timeofday is the HH:MM:SS of session_start)
+    key = ["conv_id", "day", "timeofday"]
+    b = baseline.set_index(key).sort_index()
+    r = resumed.set_index(key).sort_index()
+    assert not b.index.duplicated().any() and not r.index.duplicated().any()
+    assert set(b.index) == set(r.index), (
+        f"lost={list(set(b.index) - set(r.index))[:5]} "
+        f"dup/extra={list(set(r.index) - set(b.index))[:5]}"
+    )
+    indep = [
+        "submit_hour_int", "weekday", "length_minutes", "overall_db",
+        "mean_flatness", "subject_consent_month",
+    ]
     compare_frames(
-        resumed,
-        baseline,
-        ["conv_id", "day", "daily_submission_number"],
+        r.reset_index()[key + indep],
+        b.reset_index()[key + indep],
+        key,
         rounded_atol_cols={"length_minutes": 2e-3},
     )
+    # rank validity within each run: the day's CHRONOLOGICALLY earliest
+    # session ranks 1 (4am-shifted days run 04:00 -> 03:59, so sort by the
+    # shifted hour — submit_hour_int is +24 for the past-midnight tail —
+    # before the HH:MM:SS string)
+    for frame in (baseline, resumed):
+        first = (
+            frame.sort_values(["conv_id", "day", "submit_hour_int", "timeofday"])
+            .groupby(["conv_id", "day"])
+            .first()
+        )
+        assert (first.daily_submission_number == 1).all()
 
 
 def _run_validator_stream(spark, batches):
