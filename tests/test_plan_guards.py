@@ -86,26 +86,29 @@ def test_streaming_topology_plan_shape(spark, stream_input, synth_dir, cfg):
     out_root = "/tmp/djdq_plan_guard_stream"
     shutil.rmtree(out_root, ignore_errors=True)
     conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    # one file per trigger widens the data-bearing window to ~7 back-to-back
+    # batches so the mid-run plan capture cannot race past them (the
+    # trailing watermark-close batch is empty and prunes the Python
+    # projection, so its plan is useless for this guard)
     q, _ = start_session_qc_query(
         spark, f"{stream_input}/transcripts", out_root, conv_meta, cfg,
-        trigger_seconds=1.0,
+        trigger_seconds=0.5, max_files_per_trigger=1,
     )
-    # capture the physical plan of a DATA-BEARING batch (the trailing
-    # watermark-close batch is empty and prunes the Python projection)
     plan = None
     deadline = time.time() + 300
     try:
         while time.time() < deadline:
             p = q.lastProgress
-            if p and p.get("numInputRows", 0) > 0:
-                plan = q._jsq.explainInternal(False)
-                if "ArrowEvalPython" in plan:
+            if p is not None:
+                candidate = q._jsq.explainInternal(False)
+                if "ArrowEvalPython" in candidate:
+                    plan = candidate
                     break
-            time.sleep(0.5)
+            time.sleep(0.2)
     finally:
         q.stop()
         q.awaitTermination(120)
-    assert plan is not None, "no data-bearing micro-batch observed"
+    assert plan is not None, "no data-bearing micro-batch plan observed"
 
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "SortMergeJoin" not in plan, plan
