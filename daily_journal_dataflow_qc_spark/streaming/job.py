@@ -317,6 +317,12 @@ def start_session_qc_query(
         qc = qc.persist()
         persisted = [qc]
         try:
+            # materialize the cache ONCE before fanning out: concurrent
+            # first actions on an unmaterialized persisted frame race to
+            # compute the stateful upstream (per-partition cache locks
+            # serialize but still duplicate scheduling), and the state-store
+            # subtree must execute exactly once per batch anyway
+            qc.count()
             # the three diary-level sinks derive independently from the
             # persisted qc frame: run their write actions CONCURRENTLY.
             # Per-trigger wall at small batch sizes is dominated by a fixed
@@ -325,6 +331,8 @@ def start_session_qc_query(
             # strong-scaling decomposition identified; the sinks are
             # separate IdempotentBatchSink instances (independent manifest
             # files), so concurrent commits stay exactly-once.
+            # DJDQ_PARALLEL_SINKS=0 serializes (bench A/B control).
+            parallel = os.environ.get("DJDQ_PARALLEL_SINKS", "1") != "0"
             accepted = qc.filter(F.col("audio_approved_bool") == 1)
             rejected = qc.filter(F.col("audio_approved_bool") != 1).select(
                 "conv_id",
@@ -335,16 +343,19 @@ def start_session_qc_query(
                 "submit_hour_int",
                 "subject_consent_month",
             )
-            with ThreadPoolExecutor(3) as pool:
-                futures = [
-                    pool.submit(sinks["audio_qc"].write, qc.drop("_ts_wc"), batch_id),
-                    pool.submit(
-                        sinks["accepted"].write, accepted.drop("_ts_wc"), batch_id
-                    ),
-                    pool.submit(sinks["rejected"].write, rejected, batch_id),
-                ]
-                for f in futures:
-                    f.result()
+            jobs = [
+                (sinks["audio_qc"].write, qc.drop("_ts_wc")),
+                (sinks["accepted"].write, accepted.drop("_ts_wc")),
+                (sinks["rejected"].write, rejected),
+            ]
+            if parallel:
+                with ThreadPoolExecutor(3) as pool:
+                    futures = [pool.submit(fn, df, batch_id) for fn, df in jobs]
+                    for f in futures:
+                        f.result()
+            else:
+                for fn, df in jobs:
+                    fn(df, batch_id)
             if tool_calls_dir:
                 # returned gating: round trip complete as of this batch.
                 # INCREMENTAL: only tool-call files not yet ingested are
@@ -378,6 +389,7 @@ def start_session_qc_query(
                     "left_semi",
                 ).drop("_tool_key").persist()
                 persisted.append(returned)
+                returned.count()  # materialize before the concurrent writes
                 clean = returned.filter(~F.col("any_violated"))
                 # disfluency summary (phone_transcript_sentence_stats.py:97-118;
                 # length_minutes carries overall_db — the reproduced bug)
@@ -409,24 +421,26 @@ def start_session_qc_query(
                 # the three transcript-side sinks derive independently from
                 # the persisted returned frame: overlap their jobs (same
                 # fixed-per-job rationale as the diary-level sinks above)
-                with ThreadPoolExecutor(3) as pool:
-                    futures = [
-                        pool.submit(
-                            sinks["violations"].write,
-                            returned.filter(F.col("any_violated")).select(
-                                "conv_id", "day", "daily_submission_number", "filename"
-                            ),
-                            batch_id,
+                tjobs = [
+                    (
+                        sinks["violations"].write,
+                        returned.filter(F.col("any_violated")).select(
+                            "conv_id", "day", "daily_submission_number", "filename"
                         ),
-                        pool.submit(
-                            sinks["transcript_qc"].write,
-                            clean.select(*tqc_cols),
-                            batch_id,
-                        ),
-                        pool.submit(sinks["disfluencies"].write, disf, batch_id),
-                    ]
-                    for f in futures:
-                        f.result()
+                    ),
+                    (sinks["transcript_qc"].write, clean.select(*tqc_cols)),
+                    (sinks["disfluencies"].write, disf),
+                ]
+                if parallel:
+                    with ThreadPoolExecutor(3) as pool:
+                        futures = [
+                            pool.submit(fn, df, batch_id) for fn, df in tjobs
+                        ]
+                        for f in futures:
+                            f.result()
+                else:
+                    for fn, df in tjobs:
+                        fn(df, batch_id)
                 # per-turn stats: REBUILT from a filtered re-read of the
                 # source slice covering exactly the clean closed diaries —
                 # per-turn payloads (especially text) never transit streaming
