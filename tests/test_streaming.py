@@ -853,7 +853,7 @@ def test_turn_stats_rebuild_watermark_exact_and_replay_converges(
     shutil.rmtree(out_replay, ignore_errors=True)
     q2, sinks2 = start_session_qc_query(
         spark, f"{root}/transcripts", out_replay, conv_meta, cfg,
-        tool_calls_dir=f"{root}/tool_calls",
+        tool_calls_dir=f"{root}/tool_calls", backend=backend,
     )
     q2.awaitTermination(600)
     ts_replay = sinks2["turn_stats"].read(spark).toPandas()
@@ -877,19 +877,22 @@ def test_turn_stats_rebuild_watermark_exact_and_replay_converges(
     )
 
 
-def test_post_eviction_late_row_dropped_consistently(spark, cfg):
+@pytest.mark.parametrize("backend", ["session_window", "tws"])
+def test_post_eviction_late_row_dropped_consistently(spark, cfg, backend):
     """A sub-watermark row arriving AFTER its session's state was evicted
-    is silently dropped by the session aggregate (measured semantics) — and
-    the turn-stats rebuild never resurrects it: the live tier stays
-    internally exact (turn counts == diary counts), the batch tier counts
-    the row, and a fresh REPLAY converges to the batch tier (the
-    reference's cron re-run model)."""
+    is silently dropped — by the declarative session aggregate AND by the
+    transformWithState backend (its event-time mode pre-filters the late
+    row before the processor; measured, pinned here for both) — and the
+    turn-stats rebuild never resurrects it: the live tier stays internally
+    exact (turn counts == diary counts), the batch tier counts the row,
+    and a fresh REPLAY converges to the batch tier (the reference's cron
+    re-run model)."""
     import time as _time
 
     from daily_journal_dataflow_qc_spark import schemas
     from daily_journal_dataflow_qc_spark.pipeline import run_batch
 
-    root = "/tmp/djdq_postevict"
+    root = f"/tmp/djdq_postevict_{backend}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/transcripts")
     os.makedirs(f"{root}/tool_calls")
@@ -963,11 +966,12 @@ def test_post_eviction_late_row_dropped_consistently(spark, cfg):
         "overwrite"
     ).parquet(f"{root}/tool_calls")
 
-    out_live = "/tmp/djdq_postevict_live"
+    out_live = f"/tmp/djdq_postevict_live_{backend}"
     shutil.rmtree(out_live, ignore_errors=True)
     q, sinks = start_session_qc_query(
         spark, f"{root}/transcripts", out_live, conv_meta, cfg,
         max_files_per_trigger=1, tool_calls_dir=f"{root}/tool_calls",
+        backend=backend,
     )
     q.awaitTermination(600)
     ts_live = sinks["turn_stats"].read(spark).toPandas()
@@ -986,11 +990,11 @@ def test_post_eviction_late_row_dropped_consistently(spark, cfg):
     bt = batch.transcript_qc.toPandas()
     assert int(bt[bt.conv_id == "convZ"].total_sentence_count.iloc[0]) == 3
     # replay (fresh checkpoint, one admission batch) converges to batch
-    out_replay = "/tmp/djdq_postevict_replay"
+    out_replay = f"/tmp/djdq_postevict_replay_{backend}"
     shutil.rmtree(out_replay, ignore_errors=True)
     q2, sinks2 = start_session_qc_query(
         spark, f"{root}/transcripts", out_replay, conv_meta, cfg,
-        tool_calls_dir=f"{root}/tool_calls",
+        tool_calls_dir=f"{root}/tool_calls", backend=backend,
     )
     q2.awaitTermination(600)
     ts_replay = sinks2["turn_stats"].read(spark).toPandas()
