@@ -44,6 +44,7 @@ from ..functions.datetime_rules import proposed_processed_name, with_day_assignm
 from ..functions.naming import with_language_marker
 from ..functions.redaction import redact_udf
 from ..functions.text_metrics import normalize_text, with_sentence_metrics
+from ..sources.table_format import is_catalog_table, read_table
 from .keystore import IncrementalKeyStore
 from .sink import IdempotentBatchSink
 
@@ -258,10 +259,19 @@ def start_session_qc_query(
     Returns (query, {sink_name: IdempotentBatchSink}).
     """
     _apply_stream_conf(spark)
-    reader = spark.readStream.schema(schemas.TRANSCRIPTS)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    turns = reader.parquet(input_dir)
+    if is_catalog_table(input_dir):
+        # production path: an Iceberg (or other catalog) table — snapshots
+        # provide the incremental admission a file stream gets from its
+        # metadata log. The foreachBatch turn-stats rebuild's admitted-FILE
+        # scoping does not apply there; it falls back to the full-table read
+        # pruned by conv/ts (a partition-pruned point read on a
+        # time-partitioned production table).
+        turns = read_table(spark, input_dir, schemas.TRANSCRIPTS, streaming=True)
+    else:
+        reader = spark.readStream.schema(schemas.TRANSCRIPTS)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        turns = reader.parquet(input_dir)
 
     if backend == "tws":
         from .tws import session_qc_aggregate_tws
@@ -585,10 +595,13 @@ def start_validator_query(
     _apply_stream_conf(spark)
     from .state import turn_stream_validator
 
-    reader = spark.readStream.schema(schemas.TRANSCRIPTS)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    turns = reader.parquet(input_dir)
+    if is_catalog_table(input_dir):
+        turns = read_table(spark, input_dir, schemas.TRANSCRIPTS, streaming=True)
+    else:
+        reader = spark.readStream.schema(schemas.TRANSCRIPTS)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        turns = reader.parquet(input_dir)
     flags = turn_stream_validator(turns)
     sink = IdempotentBatchSink(output_root, "turn_flags")
 
@@ -637,7 +650,7 @@ def start_pending_flags_query(
     _apply_stream_conf(spark)
     from ..operators.transcript import push_attempt_stats
 
-    tc = spark.readStream.schema(schemas.TOOL_CALLS).parquet(tool_calls_dir)
+    tc = read_table(spark, tool_calls_dir, schemas.TOOL_CALLS, streaming=True)
     req = (
         tc.filter(F.col("kind") == "request")
         .select("conv_id", "request_key", F.col("ts").alias("req_ts"))

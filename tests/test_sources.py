@@ -188,3 +188,50 @@ def test_p4_null_purge_through_full_qc(spark, cfg):
     pdf = parsed.dropna(subset=["speakerID", "timefromstart", "text"])
     assert tqc.iloc[0]["total_sentence_count"] == len(pdf)
     assert tqc.iloc[0]["S1_sentence_count"] == (pdf["speakerID"] == "S1").sum()
+
+
+def test_table_format_dispatch(spark, synth_dir):
+    """North-star source addressing: a dotted catalog name dispatches to
+    spark.read(Stream).table (the Iceberg path on a real cluster), a path
+    dispatches to the schema'd parquet reader; contract columns are
+    validated on the catalog branch."""
+    from daily_journal_dataflow_qc_spark import schemas
+    from daily_journal_dataflow_qc_spark.sources.table_format import (
+        is_catalog_table,
+        read_table,
+    )
+
+    assert is_catalog_table("db.transcripts")
+    assert is_catalog_table("iceberg.prod.transcripts")
+    assert not is_catalog_table(f"{synth_dir}/transcripts.parquet")
+    assert not is_catalog_table("/data/transcripts")
+
+    # parquet branch, batch and streaming
+    df = read_table(spark, f"{synth_dir}/transcripts.parquet", schemas.TRANSCRIPTS)
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in schemas.TRANSCRIPTS.fields
+    ]
+    sdf = read_table(
+        spark, f"{synth_dir}/transcripts.parquet", schemas.TRANSCRIPTS, streaming=True
+    )
+    assert sdf.isStreaming
+
+    # catalog branch: register a temp view standing in for the table and
+    # check the contract-column validation both ways
+    spark.read.parquet(f"{synth_dir}/transcripts.parquet").createOrReplaceTempView(
+        "tf_check"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS tfdb")
+    spark.read.parquet(f"{synth_dir}/transcripts.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("tfdb.transcripts")
+    t = read_table(spark, "tfdb.transcripts", schemas.TRANSCRIPTS)
+    assert [f.name for f in t.schema.fields] == [
+        f.name for f in schemas.TRANSCRIPTS.fields
+    ]
+    import pytest as _pytest
+
+    bad = schemas.TOOL_CALLS  # different contract columns
+    with _pytest.raises(ValueError, match="missing contract columns"):
+        read_table(spark, "tfdb.transcripts", bad)
+    spark.sql("DROP TABLE tfdb.transcripts")
