@@ -853,7 +853,7 @@ def test_turn_stats_rebuild_watermark_exact_and_replay_converges(
     shutil.rmtree(out_replay, ignore_errors=True)
     q2, sinks2 = start_session_qc_query(
         spark, f"{root}/transcripts", out_replay, conv_meta, cfg,
-        tool_calls_dir=f"{root}/tool_calls", backend=backend,
+        tool_calls_dir=f"{root}/tool_calls",
     )
     q2.awaitTermination(600)
     ts_replay = sinks2["turn_stats"].read(spark).toPandas()
