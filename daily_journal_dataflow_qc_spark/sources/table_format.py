@@ -18,12 +18,23 @@ directory path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+# a separator-free name like ``data.parquet`` in the cwd is a relative FILE
+# path, not a table identifier — never dispatch these to spark.read.table
+_DATA_FILE_EXTS = {".parquet", ".csv", ".json", ".orc", ".avro", ".tsv", ".txt"}
+
 
 def is_catalog_table(location: str) -> bool:
-    return "/" not in location and "\\" not in location and "." in location
+    if "/" in location or "\\" in location or "." not in location:
+        return False
+    if os.path.splitext(location)[1].lower() in _DATA_FILE_EXTS:
+        return False
+    # an existing local path always wins over the catalog interpretation
+    return not os.path.exists(location)
 
 
 def read_table(

@@ -480,11 +480,25 @@ def start_session_qc_query(
                     F.max("session_end").alias("hi"),
                 ).head()
                 if bounds and bounds["lo"] is not None:
-                    admitted = _streamed_files(qc_checkpoint, batch_id)
-                    reader = spark.read.schema(schemas.TRANSCRIPTS)
-                    raw_src = (
-                        reader.parquet(*admitted) if admitted else reader.parquet(input_dir)
-                    )
+                    if is_catalog_table(input_dir):
+                        # catalog-table source (Iceberg path): no
+                        # FileStreamSource metadata log exists, so the rebuild
+                        # reads the TABLE in batch mode — pruned below by the
+                        # conv semi-join + ts range (a partition-pruned point
+                        # read on a time-partitioned production table; the
+                        # snapshot-scoped equivalent of the admitted-file list
+                        # is an Iceberg as-of read at the batch's end offset).
+                        raw_src = read_table(
+                            spark, input_dir, schemas.TRANSCRIPTS
+                        )
+                    else:
+                        admitted = _streamed_files(qc_checkpoint, batch_id)
+                        reader = spark.read.schema(schemas.TRANSCRIPTS)
+                        raw_src = (
+                            reader.parquet(*admitted)
+                            if admitted
+                            else reader.parquet(input_dir)
+                        )
                     # renamed key columns sidestep the self-lineage ambiguity
                     # (the semi-join side and the range-join side both derive
                     # from diary_keys)
@@ -693,9 +707,18 @@ def start_pending_flags_query(
             # dedup state commits (see write_batch's replay note)
             df.write.format("noop").mode("overwrite").save()
             return
-        admitted = _streamed_files(checkpoint, batch_id)
-        reader = spark.read.schema(schemas.TOOL_CALLS)
-        tcb = reader.parquet(*admitted) if admitted else reader.parquet(tool_calls_dir)
+        if is_catalog_table(tool_calls_dir):
+            # catalog-table source: batch read of the table (the semi-join
+            # below scopes the scan to the handful of keys emitting now)
+            tcb = read_table(spark, tool_calls_dir, schemas.TOOL_CALLS)
+        else:
+            admitted = _streamed_files(checkpoint, batch_id)
+            reader = spark.read.schema(schemas.TOOL_CALLS)
+            tcb = (
+                reader.parquet(*admitted)
+                if admitted
+                else reader.parquet(tool_calls_dir)
+            )
         keys = df.select(
             F.col("conv_id").alias("_c"), F.col("filename").alias("_k")
         ).distinct()
@@ -712,7 +735,22 @@ def start_pending_flags_query(
             )
             .select("conv_id", F.col("request_key").alias("filename"))
         )
-        sink.write(df.join(F.broadcast(exhausted), ["conv_id", "filename"], "left_anti"), batch_id)
+        out = df.join(F.broadcast(exhausted), ["conv_id", "filename"], "left_anti")
+        # one-row-per-key guarantee beyond the dedup watermark: the
+        # pre-join dropDuplicatesWithinWatermark holds its state only for
+        # the 1-hour watermark, so a retry of the same (conv_id,
+        # request_key) arriving >1h of event time after the first request
+        # re-enters the join and would emit a SECOND pending row for the
+        # key (the batch tier's issues_set is one row per key). Guard by
+        # anti-joining against everything this sink already committed —
+        # pending flags are rare (weeks-overdue requests), so the
+        # accumulated output is tiny and broadcast-able by AQE.
+        try:
+            prior = sink.read(spark).select("conv_id", "filename").distinct()
+            out = out.join(prior, ["conv_id", "filename"], "left_anti")
+        except FileNotFoundError:
+            pass  # first committed batch — nothing prior to dedupe against
+        sink.write(out, batch_id)
 
     q = (
         pending.writeStream.outputMode("append")

@@ -44,7 +44,9 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..sources.table_format import is_catalog_table, read_table
 from .sink import IdempotentBatchSink
 
 
@@ -115,6 +117,19 @@ class IncrementalKeyStore:
                 continue
         return out
 
+    def _latest_hwm(self) -> int | None:
+        """Max event-time high-watermark (epoch microseconds) recorded by any
+        committed catalog ingestion (batch manifests + the compaction that
+        folds them)."""
+        hwms = []
+        comp = self._latest_compaction()
+        if comp and comp.get("hwm") is not None:
+            hwms.append(int(comp["hwm"]))
+        for m in self._load_manifests("batch-"):
+            if m.get("hwm") is not None:
+                hwms.append(int(m["hwm"]))
+        return max(hwms) if hwms else None
+
     def ingest(
         self,
         spark: SparkSession,
@@ -122,19 +137,46 @@ class IncrementalKeyStore:
         batch_id: int,
         schema,
         project,
+        ts_col: str = "ts",
+        lateness_s: float = 3600.0,
     ) -> None:
-        """Ingest files of ``src_dir`` not yet seen; ``project`` maps the raw
-        DataFrame to the compact key frame to store. No-op on replayed
+        """Ingest rows/files of ``src_dir`` not yet seen; ``project`` maps the
+        raw DataFrame to the compact key frame to store. No-op on replayed
         batches — committed manifest OR an id superseded by a compaction
         (compaction deletes per-batch manifests, so a checkpoint replay of a
         covered batch must not re-run under a covered id: its keys would be
         filtered by _live_batches and silently lost; new files are instead
         picked up by the next LIVE batch). Triggers compaction when the
-        live batch-file count reaches ``compact_every``."""
+        live batch-file count reaches ``compact_every``.
+
+        ``src_dir`` may also be a CATALOG TABLE (Iceberg on a real cluster):
+        there is no file listing to diff, so incrementality switches to an
+        event-time high-watermark on ``ts_col`` — each batch reads only rows
+        with ``ts > hwm - lateness_s`` (the overlap tolerates bounded-late
+        writers; re-ingested keys dedupe at :meth:`read`). On Iceberg the
+        production upgrade is an incremental snapshot scan between the last
+        and current snapshot ids, which needs no lateness bound; the HWM path
+        is the engine-portable equivalent and the filter is pushed down to
+        the table scan either way."""
         comp = self._latest_compaction()
         if self.sink.committed(batch_id) or (
             comp and batch_id in set(comp["covers"])
         ):
+            return
+        if is_catalog_table(src_dir):
+            hwm = self._latest_hwm()
+            df = read_table(spark, src_dir, schema)
+            if hwm is not None:
+                cutoff = (hwm - int(lateness_s * 1_000_000)) / 1_000_000.0
+                df = df.filter(
+                    F.col(ts_col) > F.timestamp_seconds(F.lit(cutoff))
+                )
+            # 1 scalar to the driver per batch — the new high-watermark
+            top = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("m")).head()
+            new_hwm = top["m"] if top and top["m"] is not None else hwm
+            keys = project(df).distinct()
+            self.sink.write(keys, batch_id, extra={"hwm": new_hwm})
+            self._maybe_compact(spark, batch_id)
             return
         ingested = self._ingested_files()
         new = [f for f in self._list_parquet(src_dir) if f not in ingested]
@@ -153,6 +195,9 @@ class IncrementalKeyStore:
         comp = self._latest_compaction()
         paths = ([comp["path"]] if comp else []) + [m["path"] for m in live]
         files: set[str] = set(comp.get("files", [])) if comp else set()
+        hwms = [int(m["hwm"]) for m in live if m.get("hwm") is not None]
+        if comp and comp.get("hwm") is not None:
+            hwms.append(int(comp["hwm"]))
         for m in live:
             files.update(m.get("files", []))
         df = spark.read.parquet(*paths).distinct()
@@ -168,6 +213,7 @@ class IncrementalKeyStore:
                 | {int(m["batch_id"]) for m in live}
             ),
             "files": sorted(files),
+            "hwm": max(hwms) if hwms else None,
         }
         target = os.path.join(self.sink.manifest_dir, f"compaction-{batch_id}.json")
         tmp = target + ".tmp"

@@ -205,6 +205,18 @@ def test_table_format_dispatch(spark, synth_dir):
     assert is_catalog_table("iceberg.prod.transcripts")
     assert not is_catalog_table(f"{synth_dir}/transcripts.parquet")
     assert not is_catalog_table("/data/transcripts")
+    # separator-free RELATIVE paths must not be misdispatched to the catalog
+    assert not is_catalog_table("data.parquet")  # known data-file extension
+    assert not is_catalog_table("events.csv")
+    import os as _os
+
+    cwd = _os.getcwd()
+    try:
+        _os.chdir(synth_dir)
+        # an existing local path always wins over the catalog interpretation
+        assert not is_catalog_table("transcripts.parquet")
+    finally:
+        _os.chdir(cwd)
 
     # parquet branch, batch and streaming
     df = read_table(spark, f"{synth_dir}/transcripts.parquet", schemas.TRANSCRIPTS)

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from daily_journal_dataflow_qc_spark import schemas as schemas_mod
 from daily_journal_dataflow_qc_spark.pipeline import run_batch_from_dir
 from daily_journal_dataflow_qc_spark.streaming.job import (
     start_pending_flags_query,
@@ -1131,3 +1132,64 @@ def test_submit_entrypoint_local(spark, stream_input, synth_dir):
     # resume: availableNow over an unchanged input is an exactly-once no-op
     subprocess.run(cmd, capture_output=True, text=True, check=True, timeout=420)
     assert len(os.listdir(f"{out_root}/audio_qc")) == n1
+
+
+def test_catalog_table_streaming_e2e(spark, stream_input, synth_dir, cfg):
+    """North-star addressing end-to-end: BOTH streaming sources given as
+    catalog tables (the Iceberg path — readStream.table admission, batch
+    re-reads + key-store ingestion dispatched through read_table). Guards
+    the ADVICE r04 regression: the foreachBatch fallbacks used to call
+    spark.read.parquet(<dotted name>) (AnalysisException) and the key store
+    silently ingested nothing from a table source (empty returned-gate ->
+    zero transcript-side rows)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS cat_e2e")
+    for name, src, schema in [
+        ("transcripts", f"{stream_input}/transcripts", schemas_mod.TRANSCRIPTS),
+        ("tool_calls", f"{stream_input}/tool_calls", schemas_mod.TOOL_CALLS),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS cat_e2e.{name}")
+        spark.read.schema(schema).parquet(src).write.saveAsTable(f"cat_e2e.{name}")
+
+    out_root = "/tmp/djdq_stream_catalog"
+    shutil.rmtree(out_root, ignore_errors=True)
+    conv_meta = spark.read.parquet(f"{synth_dir}/conv_meta.parquet")
+    q, sinks = start_session_qc_query(
+        spark, "cat_e2e.transcripts", out_root, conv_meta, cfg,
+        tool_calls_dir="cat_e2e.tool_calls",
+    )
+    q.awaitTermination(600)
+
+    batch = run_batch_from_dir(spark, synth_dir, cfg)
+    got_qc = sinks["audio_qc"].read(spark).select(*QC_COMPARE_COLS).toPandas()
+    want_qc = batch.audio_qc.select(*QC_COMPARE_COLS).toPandas()
+    compare_frames(
+        got_qc, want_qc, ["conv_id", "day", "daily_submission_number"],
+        rounded_atol_cols={"length_minutes": 2e-3},
+    )
+    # transcript side is the part that silently emptied before the fix
+    got_ts = sinks["turn_stats"].read(spark).toPandas()
+    want_ts = batch.turn_stats.toPandas()
+    assert len(got_ts) > 0
+    compare_frames(got_ts, want_ts, ["conv_id", "turn_idx"])
+    got_tqc = sinks["transcript_qc"].read(spark).toPandas()
+    assert len(got_tqc) == batch.transcript_qc.count()
+
+    # pending-flags query from the same catalog table: key set == batch tier
+    pend_root = "/tmp/djdq_stream_catalog_pending"
+    shutil.rmtree(pend_root, ignore_errors=True)
+    q2, psink = start_pending_flags_query(spark, "cat_e2e.tool_calls", pend_root, cfg)
+    q2.awaitTermination(600)
+    got_pending = set(
+        zip(*(lambda p: (p.conv_id, p.filename))(psink.read(spark).toPandas()))
+    )
+    file_root = "/tmp/djdq_stream_catalog_pending_files"
+    shutil.rmtree(file_root, ignore_errors=True)
+    q3, fsink = start_pending_flags_query(
+        spark, f"{stream_input}/tool_calls", file_root, cfg
+    )
+    q3.awaitTermination(600)
+    fp = fsink.read(spark).toPandas()
+    assert got_pending == set(zip(fp.conv_id, fp.filename))
+    assert got_pending, "fixture produced no pending keys"
+    for name in ("transcripts", "tool_calls"):
+        spark.sql(f"DROP TABLE cat_e2e.{name}")
