@@ -26,6 +26,20 @@ MSG_MISSING_REQUEST = "File should exist based on MindLAMP JSON data but no MP3 
 MSG_REDACTION_VIOLATION = "Redaction convention violated in file, please review manually"
 # S8 exhausted-retries flag (subject_summaries_update.sh:141, verbatim)
 MSG_UPLOAD_FAILED = "TranscribeMe SFTP upload failed"
+# output-reconciliation flags (journal_outputs_error_check.py:76,84 / :151,159;
+# subject_summaries_update.sh:264 — verbatim). These are drift detectors over
+# the engine's OWN outputs: on a healthy run all three anti-joins are empty.
+MSG_COMPLETED_NO_UNIQUE_QC = (
+    "File appears to have fully completed pipeline but can not find a unique "
+    "entry in audio QC for it now"
+)
+MSG_REDACTED_CSV_NO_TQC = (
+    "File has redacted CSV version available but transcript QC that should "
+    "have been computed from that is not found"
+)
+MSG_COMPLETED_NO_TRANSCRIPT = (
+    "Audio marked as completed but pulled transcript not found"
+)
 
 REJECTED_COLS = [
     "conv_id",
@@ -150,6 +164,9 @@ def issues_set(
     violated_diaries: DataFrame,
     cfg: PipelineConfig,
     tool_calls: DataFrame | None = None,
+    transcript_qc: DataFrame | None = None,
+    disfluencies: DataFrame | None = None,
+    turn_stats: DataFrame | None = None,
 ) -> DataFrame:
     """The major-issues log (flagged row set), deduped keeping the earliest
     detection date (journal_outputs_error_check.py:199-214, O4).
@@ -160,7 +177,34 @@ def issues_set(
     — it is flagged 'TranscribeMe SFTP upload failed' under its LOCAL name
     (the file never left audio_to_send, subject_summaries_update.sh:127-143)
     and is EXCLUDED from the pending / no-QC reconciliations, which track
-    files that actually reached the tool."""
+    files that actually reached the tool.
+
+    When the transcript-side outputs are given, three OUTPUT-RECONCILIATION
+    families run (all empty on a healthy run — they detect output drift, the
+    reference's post-hoc consistency sweep over its own CSV/file artifacts):
+
+    * completed-pipeline vs audio QC uniqueness (journal_outputs_error_
+      check.py:76,84): every transcript-QC row evidences a wav that
+      completed the full pipeline; its (conv, day, submission) must match
+      EXACTLY ONE audio QC row (a per-micro-batch submission rank upstream
+      — SURVEY §7.3.1 — is precisely what can mint duplicates),
+    * redacted CSV vs transcript QC (journal_outputs_error_check.py:151,
+      159): each disfluency-summary row evidences the redacted CSV the
+      sentence-stats step consumed; transcript QC computed from that same
+      CSV must have exactly one row for the key,
+    * completed audio vs pulled transcript (subject_summaries_update.
+      sh:264): an accepted diary whose tool round trip RETURNED (the graft
+      of completed_audio membership) must have per-turn transcript rows.
+      Redaction-violated diaries are excluded — their pulled txt exists in
+      the reference (the redaction step discards the CSV downstream), and
+      they are already flagged 'pre-redaction'.
+
+    The remaining reference crash-stage flags (ffmpeg failed, temp_audio
+    leftover, 'Audio QC function crashed', 'Calculation of transcript stats
+    per sentence failed') attribute PER-FILE PROCESS crashes; a declarative
+    plan either computes a stage for every surviving row or fails the job —
+    there is no per-row crash state to reconcile, so they are documented
+    inapplicable (ARCHITECTURE §2 notes)."""
     today = F.lit(cfg.compute_date_str)
     # tool-side reconciliation happens under the language-marked exchange
     # name (S10): requests/returns carry it from the SFTP side, so the
@@ -260,6 +304,96 @@ def issues_set(
     if upload_failed is not None:
         all_issues = all_issues.unionByName(
             flag(upload_failed, "pre-transcript", MSG_UPLOAD_FAILED)
+        )
+
+    # ---- output reconciliations (see docstring). Key columns are renamed on
+    # the aggregate side: both sides share lineage with audio_qc_df and a
+    # same-name equi-join would hit AMBIGUOUS_REFERENCE. All bases are
+    # diary-grain (small) — AQE broadcasts the joins.
+    diary_key = ["conv_id", "day", "daily_submission_number"]
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(
+            *[F.col(c).alias(f"_{name}_{c}") for c in diary_key]
+        ).agg(F.count("*").alias(f"_{name}_n"))
+
+    def _not_unique(base: DataFrame, counts: DataFrame, name: str) -> DataFrame:
+        cond = [F.col(c) == F.col(f"_{name}_{c}") for c in diary_key]
+        return (
+            base.join(counts, cond, "left")
+            .filter(
+                F.col(f"_{name}_n").isNull() | (F.col(f"_{name}_n") != 1)
+            )
+            .select("conv_id", "request_key")
+        )
+
+    if transcript_qc is not None:
+        base_a = transcript_qc.select(
+            *diary_key, F.col("filename").alias("request_key")
+        ).distinct()
+        all_issues = all_issues.unionByName(
+            flag(
+                _not_unique(base_a, _counts(audio_qc_df, "aqc"), "aqc"),
+                "post-audioQC",
+                MSG_COMPLETED_NO_UNIQUE_QC,
+            )
+        )
+    if disfluencies is not None and transcript_qc is not None:
+        base_b = disfluencies.select(
+            *diary_key,
+            F.concat(
+                F.regexp_replace("filename", "\\.wav$", ""),
+                F.lit("_REDACTED.csv"),
+            ).alias("request_key"),
+        ).distinct()
+        all_issues = all_issues.unionByName(
+            flag(
+                _not_unique(base_b, _counts(transcript_qc, "tqc"), "tqc"),
+                "pre-transcriptQC",
+                MSG_REDACTED_CSV_NO_TQC,
+            )
+        )
+    if turn_stats is not None:
+        completed = (
+            audio_qc_df.filter(F.col("audio_approved_bool") == 1)
+            .select(
+                *diary_key,
+                "filename",
+                with_language_marker(
+                    F.col("filename"), F.col("language")
+                ).alias("_marked"),
+            )
+            .join(
+                req_all.select(
+                    "conv_id", F.col("request_key").alias("_marked")
+                ),
+                ["conv_id", "_marked"],
+                "left_semi",
+            )
+            .join(
+                ret.select("conv_id", F.col("request_key").alias("_marked")),
+                ["conv_id", "_marked"],
+                "left_semi",
+            )
+            .join(
+                violated_diaries.select("conv_id", "filename"),
+                ["conv_id", "filename"],
+                "left_anti",
+            )
+        )
+        ts_ids = turn_stats.select(
+            *[F.col(c).alias(f"_ts_{c}") for c in diary_key]
+        ).distinct()
+        bad_c = (
+            completed.join(
+                ts_ids,
+                [F.col(c) == F.col(f"_ts_{c}") for c in diary_key],
+                "left_anti",
+            )
+            .select("conv_id", F.col("filename").alias("request_key"))
+        )
+        all_issues = all_issues.unionByName(
+            flag(bad_c, "pre-transcript", MSG_COMPLETED_NO_TRANSCRIPT)
         )
     # O4: keep-earliest dedup on the full issue identity
     w = Window.partitionBy(

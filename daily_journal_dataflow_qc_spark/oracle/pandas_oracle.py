@@ -449,10 +449,13 @@ def compute(
 
     # issues log
     from ..operators.compile import (
+        MSG_COMPLETED_NO_TRANSCRIPT,
+        MSG_COMPLETED_NO_UNIQUE_QC,
         MSG_MISSING_REQUEST,
         MSG_ORPHAN_RETURN,
         MSG_PENDING,
         MSG_REDACTION_VIOLATION,
+        MSG_REDACTED_CSV_NO_TQC,
         MSG_REQUEST_NO_QC,
         MSG_UPLOAD_FAILED,
     )
@@ -521,6 +524,37 @@ def compute(
         add(k[0], k[1], "pre-wav", MSG_MISSING_REQUEST)
     for r in violated_diaries.itertuples():
         add(r.conv_id, r.filename, "pre-redaction", MSG_REDACTION_VIOLATION)
+
+    # output reconciliations (compile.issues_set mirror; empty on a healthy
+    # run — they detect drift between the engine's own outputs)
+    dkey = ["conv_id", "day", "daily_submission_number"]
+    aqc_counts = dqc.groupby(dkey).size()
+    if len(tqc) > 0:
+        for r in tqc[dkey + ["filename"]].drop_duplicates().itertuples():
+            k = (r.conv_id, r.day, r.daily_submission_number)
+            if aqc_counts.get(k, 0) != 1:
+                add(r.conv_id, r.filename, "post-audioQC", MSG_COMPLETED_NO_UNIQUE_QC)
+    if len(disf) > 0:
+        tqc_counts = tqc.groupby(dkey).size() if len(tqc) else pd.Series(dtype=int)
+        for r in disf[dkey + ["filename"]].drop_duplicates().itertuples():
+            k = (r.conv_id, r.day, r.daily_submission_number)
+            if tqc_counts.get(k, 0) != 1:
+                add(
+                    r.conv_id,
+                    r.filename.replace(".wav", "_REDACTED.csv"),
+                    "pre-transcriptQC",
+                    MSG_REDACTED_CSV_NO_TQC,
+                )
+    violated_ids = set(zip(violated_diaries["conv_id"], violated_diaries["filename"]))
+    ts_ids = set(map(tuple, turn_stats[dkey].drop_duplicates().itertuples(index=False)))
+    for r in acc[dkey + ["filename", "expected_language"]].itertuples():
+        mk = (r.conv_id, _tool_key(r.filename, r.expected_language))
+        if mk not in req_keys or mk not in ret_keys:
+            continue  # round trip incomplete: not "completed audio"
+        if (r.conv_id, r.filename) in violated_ids:
+            continue  # txt exists in the reference; flagged pre-redaction
+        if (r.conv_id, r.day, r.daily_submission_number) not in ts_ids:
+            add(r.conv_id, r.filename, "pre-transcript", MSG_COMPLETED_NO_TRANSCRIPT)
 
     issues = pd.DataFrame(
         issues_rows,

@@ -92,7 +92,10 @@ def run_batch(
     # final row sets
     accepted = compile_ops.accepted_set(qc, tqc, disf)
     rejected = compile_ops.rejected_set(qc)
-    issues = compile_ops.issues_set(qc, requests, returns, violated, cfg, tool_calls=tool_calls)
+    issues = compile_ops.issues_set(
+        qc, requests, returns, violated, cfg, tool_calls=tool_calls,
+        transcript_qc=tqc, disfluencies=disf, turn_stats=stats,
+    )
 
     turn_stats_out = stats.select(
         "conv_id",
@@ -201,7 +204,10 @@ def run_batch_staged(
 
     accepted = compile_ops.accepted_set(qc, tqc, disf)
     rejected = compile_ops.rejected_set(qc)
-    issues = compile_ops.issues_set(qc, requests, returns, violated, cfg, tool_calls=tool_calls)
+    issues = compile_ops.issues_set(
+        qc, requests, returns, violated, cfg, tool_calls=tool_calls,
+        transcript_qc=tqc, disfluencies=disf, turn_stats=clean,
+    )
 
     turn_stats_out = clean.select(
         "conv_id",

@@ -97,3 +97,75 @@ def test_acceptance_predicate_split(outputs, golden):
     assert not (a & r)
     # every accepted diary is a first submission
     assert (acc["daily_submission_number"] == 1).all()
+
+
+def test_reconciliation_flags_fire_on_engineered_drift(spark, cfg):
+    """The three output-reconciliation families (journal_outputs_error_check
+    .py:76,84 / :151,159; subject_summaries_update.sh:264 — verbatim
+    strings) fire on engineered inconsistencies and stay silent otherwise:
+
+    c1 healthy; c2 duplicated audio-QC identity (the streaming per-batch
+    rank's real failure mode); c3 completed round trip but no per-turn
+    transcript rows; c4 redacted-CSV product with no transcript-QC row;
+    c5 violated diary — completed + no turn rows, but must be flagged
+    pre-redaction ONLY (its pulled txt exists in the reference)."""
+    from pyspark.sql import functions as F
+
+    from daily_journal_dataflow_qc_spark.operators.compile import (
+        MSG_COMPLETED_NO_TRANSCRIPT,
+        MSG_COMPLETED_NO_UNIQUE_QC,
+        MSG_REDACTED_CSV_NO_TQC,
+        MSG_REDACTION_VIOLATION,
+        issues_set,
+    )
+
+    def df(rows, cols):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+    aqc_rows = [
+        ("c1", 1, 1, "f1.wav", "ENGLISH", 1, True),
+        ("c2", 1, 1, "f2.wav", "ENGLISH", 1, True),
+        ("c2", 1, 1, "f2.wav", "ENGLISH", 1, True),  # duplicate identity
+        ("c3", 1, 1, "f3.wav", "ENGLISH", 1, True),
+        ("c4", 1, 1, "f4.wav", "ENGLISH", 1, True),
+        ("c5", 1, 1, "f5.wav", "ENGLISH", 1, True),
+    ]
+    aqc = df(
+        aqc_rows,
+        ["conv_id", "day", "daily_submission_number", "filename", "language",
+         "audio_approved_bool", "has_tool_tag"],
+    )
+    ts0 = pd.Timestamp(cfg.compute_date_str, tz="UTC")
+    reqs = df(
+        [(c, f"f{i}.wav", ts0) for i, c in enumerate(["c1", "c2", "c3", "c4", "c5"], 1)],
+        ["conv_id", "request_key", "ts"],
+    )
+    rets = reqs.select("conv_id", "request_key")
+    violated = df([("c5", 1, 1, "f5.wav")],
+                  ["conv_id", "day", "daily_submission_number", "filename"])
+    tqc = df(
+        [("c1", 1, 1, "f1.wav"), ("c2", 1, 1, "f2.wav")],
+        ["conv_id", "day", "daily_submission_number", "filename"],
+    )
+    disf = df(
+        [("c1", 1, 1, "f1.wav"), ("c2", 1, 1, "f2.wav"), ("c4", 1, 1, "f4.wav")],
+        ["conv_id", "day", "daily_submission_number", "filename"],
+    )
+    turns = df(
+        [("c1", 1, 1), ("c2", 1, 1), ("c4", 1, 1)],
+        ["conv_id", "day", "daily_submission_number"],
+    )
+
+    got = issues_set(
+        aqc, reqs, rets, violated, cfg,
+        transcript_qc=tqc, disfluencies=disf, turn_stats=turns,
+    ).toPandas()
+    flags = set(zip(got.conv_id, got.filename, got.file_stage, got.error_message))
+    assert flags == {
+        ("c2", "f2.wav", "post-audioQC", MSG_COMPLETED_NO_UNIQUE_QC),
+        ("c3", "f3.wav", "pre-transcript", MSG_COMPLETED_NO_TRANSCRIPT),
+        ("c4", "f4_REDACTED.csv", "pre-transcriptQC", MSG_REDACTED_CSV_NO_TQC),
+        ("c5", "f5.wav", "pre-redaction", MSG_REDACTION_VIOLATION),
+    }, flags
+    # dedup invariant: one row per issue identity even with duplicated bases
+    assert len(got) == 4
