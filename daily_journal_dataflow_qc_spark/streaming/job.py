@@ -67,6 +67,16 @@ def _apply_stream_conf(spark: SparkSession) -> None:
         spark.conf.set(k, v)
 
 
+# per-checkpoint cache of parsed FileStreamSource log files:
+# {sources-dir: {log-file-name: ((mtime_ns, size), frozenset[paths])}}.
+# Metadata-log files are immutable once committed (temp-then-rename), so a
+# (mtime, size)-validated entry never needs re-parsing — per-trigger driver
+# work is O(new log files), not O(total files ever admitted). The stat
+# fingerprint also invalidates the entry when a checkpoint directory is
+# deleted and recreated at the same path (same names, different content).
+_STREAM_LOG_CACHE: dict[str, dict[str, tuple[tuple[int, int], frozenset]]] = {}
+
+
 def _streamed_files(checkpoint_loc: str, batch_id: int) -> list[str] | None:
     """Source files the file stream has ADMITTED through ``batch_id``, parsed
     from the FileStreamSource metadata log (``sources/0``; entries are one
@@ -79,6 +89,10 @@ def _streamed_files(checkpoint_loc: str, batch_id: int) -> list[str] | None:
     the log is unreadable — callers fall back to the full-dir read (the
     pre-compaction behavior).
 
+    INCREMENTAL across triggers: each committed log file is parsed once per
+    process and cached (see _STREAM_LOG_CACHE) — a months-lived stream pays
+    per-trigger parse cost proportional to the files admitted THAT trigger.
+
     Sub-watermark LATE rows need no extra handling (measured semantics): a
     late row either merged into its still-live session (counted by the
     diary, so the rebuild must include it — it does, the file is admitted)
@@ -88,6 +102,7 @@ def _streamed_files(checkpoint_loc: str, batch_id: int) -> list[str] | None:
     src = os.path.join(checkpoint_loc, "sources", "0")
     if not os.path.isdir(src):
         return None
+    cache = _STREAM_LOG_CACHE.setdefault(src, {})
     paths: set[str] = set()
     try:
         names = os.listdir(src)
@@ -97,17 +112,30 @@ def _streamed_files(checkpoint_loc: str, batch_id: int) -> list[str] | None:
         stem = name.split(".")[0]
         if not stem.isdigit() or int(stem) > batch_id:
             continue
+        full = os.path.join(src, name)
         try:
-            with open(os.path.join(src, name)) as f:
+            st = os.stat(full)
+        except OSError:
+            return None
+        fingerprint = (st.st_mtime_ns, st.st_size)
+        hit = cache.get(name)
+        if hit is not None and hit[0] == fingerprint:
+            paths |= hit[1]
+            continue
+        entry: set[str] = set()
+        try:
+            with open(full) as f:
                 for line in f:
                     line = line.strip()
                     if not line or line.startswith("v"):
                         continue
                     p = json.loads(line).get("path")
                     if p:
-                        paths.add(p)
+                        entry.add(p)
         except (OSError, json.JSONDecodeError):
             return None
+        cache[name] = (fingerprint, frozenset(entry))
+        paths |= entry
     return sorted(paths) or None
 
 

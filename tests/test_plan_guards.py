@@ -142,3 +142,41 @@ def test_compile_batch_joins_broadcast(spark, synth_dir, cfg):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pending_flags_topology_plan_shape(spark, stream_input, cfg):
+    """Pending-flags stream guard (the one streaming topology previously
+    unpinned): requests x returns must run as a watermarked
+    stream-stream symmetric hash join fed by the first-arrival dedup —
+    never a SortMergeJoin — and the whole plan stays JVM-side (no Python
+    boundary)."""
+    import shutil
+    import time
+
+    from daily_journal_dataflow_qc_spark.streaming.job import (
+        start_pending_flags_query,
+    )
+
+    out_root = "/tmp/djdq_plan_guard_pending"
+    shutil.rmtree(out_root, ignore_errors=True)
+    q, _ = start_pending_flags_query(
+        spark, f"{stream_input}/tool_calls", out_root, cfg, trigger_seconds=0.5
+    )
+    plan = None
+    deadline = time.time() + 300
+    try:
+        while time.time() < deadline:
+            if q.lastProgress is not None:
+                plan = q._jsq.explainInternal(False)
+                if "StreamingSymmetricHashJoin" in plan:
+                    break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    assert plan is not None, "no micro-batch plan observed"
+    assert "StreamingSymmetricHashJoin" in plan, plan
+    assert "StreamingDeduplicateWithinWatermark" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
