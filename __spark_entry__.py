@@ -490,16 +490,11 @@ def q_lsh_bucketed_ann(spark, sf):
     from daily_journal_dataflow_qc_spark.operators.similarity import lsh_bucketed_knn
 
     e = _t(spark, sf, "embeddings")
-    dim = len(e.select("embedding").head()[0])
-    if dim != 64:
-        # the oracle embeds planes generated for dim=64; a different rng
-        # shape would silently regenerate a different matrix and every
-        # bucket would mismatch — fail with the cause instead
-        raise ValueError(
-            f"embeddings dim={dim} but _lsh_ann_oracle_sql embeds dim=64 "
-            "plane literals; regenerate the oracle for the new dimension"
-        )
-    return lsh_bucketed_knn(e, n_planes=3, n_tables=16, seed=42)
+    # dim=64 is the oracle contract: _lsh_ann_oracle_sql embeds planes
+    # generated for that shape as SQL literals. Declaring it here removes
+    # the driver-side head() probe — every Arrow batch validates the
+    # dimension in-plan and fails with the cause on a mismatch.
+    return lsh_bucketed_knn(e, n_planes=3, n_tables=16, seed=42, dim=64)
 
 
 def _lsh_ann_oracle_sql(dim: int = 64, n_planes: int = 3, n_tables: int = 16, seed: int = 42) -> str:
@@ -1113,11 +1108,22 @@ def q_email_summary(spark, sf):
 
 
 def q_return_error_clear(spark, sf):
-    # manual_update_utilities/transcribeme_return_error_clear.py graft: stale
-    # pending-return flags clear iff the file left the pending area AND its
-    # transcript exists; genuinely-unreturned files keep their flag. Issue /
-    # pending / transcript sets are derived deterministically from events.
-    from daily_journal_dataflow_qc_spark.operators.compile import MSG_PENDING
+    # Issues-log MAINTENANCE, merged grain (driver 50-cap): (1) manual_update_
+    # utilities/transcribeme_return_error_clear.py graft — stale pending-
+    # return flags clear iff the file left the pending area AND its
+    # transcript exists; (2) the three OUTPUT-RECONCILIATION flag families
+    # (journal_outputs_error_check.py:76,84/:151,159; subject_summaries_
+    # update.sh:264) over deterministically-drifted diary-grain outputs:
+    # _h==0 duplicates the audio-QC identity, _h==3 has a redacted-CSV
+    # product with no transcript QC, _h==5 completed its round trip but has
+    # no per-turn rows (_h==7 never returned, so it must NOT flag).
+    import datetime as _dt
+
+    from daily_journal_dataflow_qc_spark.config import PipelineConfig
+    from daily_journal_dataflow_qc_spark.operators.compile import (
+        MSG_PENDING,
+        issues_set,
+    )
     from daily_journal_dataflow_qc_spark.operators.transcript import (
         clear_resolved_return_errors,
     )
@@ -1131,6 +1137,7 @@ def q_return_error_clear(spark, sf):
     h = F.pmod(F.col("user_id") + F.col("_i") * 3, F.lit(8))
     keyed = rows.select(
         "conv_id",
+        F.col("_i"),
         F.format_string("d%02d.wav", F.col("_i")).alias("filename"),
         h.alias("_h"),
     )
@@ -1147,7 +1154,37 @@ def q_return_error_clear(spark, sf):
     transcripts = keyed.filter(F.pmod(F.col("_h"), F.lit(3)) == 0).select(
         "conv_id", "filename"
     )
-    return clear_resolved_return_errors(issues, pending, transcripts)
+    cleared = clear_resolved_return_errors(issues, pending, transcripts)
+
+    # reconciliation leg: issues_set with ONLY the output-drift inputs live
+    # (no tool tags / in-deadline requests, so the legacy families are empty)
+    cfg = PipelineConfig(compute_date=_dt.date(2024, 6, 1))
+    dk = [F.col("_i").alias("day"), F.lit(1).alias("daily_submission_number")]
+    aqc_one = keyed.select(
+        "conv_id", *dk, "filename",
+        F.lit("ENGLISH").alias("language"),
+        F.lit(1).alias("audio_approved_bool"),
+        F.lit(False).alias("has_tool_tag"),
+        "_h",
+    )
+    aqc = aqc_one.unionByName(aqc_one.filter(F.col("_h") == 0)).drop("_h")
+    reqs = keyed.select(
+        "conv_id",
+        F.col("filename").alias("request_key"),
+        F.to_timestamp(F.lit("2024-06-01")).alias("ts"),
+    )
+    rets = keyed.filter(F.col("_h") != 7).select(
+        "conv_id", F.col("filename").alias("request_key")
+    )
+    violated = spark.createDataFrame([], "conv_id string, filename string")
+    tqc = keyed.filter(F.pmod("_h", F.lit(2)) == 0).select("conv_id", *dk, "filename")
+    disf = keyed.filter(F.pmod("_h", F.lit(3)) == 0).select("conv_id", *dk, "filename")
+    turns = keyed.filter(F.col("_h") != 5).select("conv_id", *dk)
+    recon = issues_set(
+        aqc, reqs, rets, violated, cfg,
+        transcript_qc=tqc, disfluencies=disf, turn_stats=turns,
+    )
+    return cleared.unionByName(recon.select("conv_id", "filename", "error_message"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1721,9 +1758,21 @@ def oracle_sql() -> dict[str, str]:
                        user_id, event_id % 25 AS i
                 FROM events
             ), k AS (
-                SELECT conv_id, printf('d%02d.wav', i) AS filename,
+                SELECT conv_id, i, printf('d%02d.wav', i) AS filename,
                        (user_id + i * 3) % 8 AS hh
                 FROM r
+            ), aqc AS (
+                SELECT conv_id, i AS day, 1 AS sub, filename FROM k
+                UNION ALL
+                SELECT conv_id, i, 1, filename FROM k WHERE hh = 0
+            ), tqc AS (
+                SELECT conv_id, i AS day, 1 AS sub, filename FROM k WHERE hh % 2 = 0
+            ), disf AS (
+                SELECT conv_id, i AS day, 1 AS sub, filename FROM k WHERE hh % 3 = 0
+            ), turns AS (
+                SELECT conv_id, i AS day, 1 AS sub FROM k WHERE hh <> 5
+            ), completed AS (
+                SELECT conv_id, i AS day, 1 AS sub, filename FROM k WHERE hh <> 7
             )
             SELECT conv_id, filename,
                    CASE WHEN hh < 4
@@ -1731,6 +1780,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'other issue' END AS error_message
             FROM k
             WHERE NOT (hh < 4 AND hh % 2 = 1 AND hh % 3 = 0)
+            UNION ALL
+            SELECT t.conv_id, t.filename,
+                   'File appears to have fully completed pipeline but can not find a unique entry in audio QC for it now'
+            FROM tqc t LEFT JOIN (
+                SELECT conv_id, day, sub, count(*) AS n FROM aqc GROUP BY ALL
+            ) a ON t.conv_id = a.conv_id AND t.day = a.day AND t.sub = a.sub
+            WHERE coalesce(a.n, 0) <> 1
+            UNION ALL
+            SELECT d.conv_id, replace(d.filename, '.wav', '_REDACTED.csv'),
+                   'File has redacted CSV version available but transcript QC that should have been computed from that is not found'
+            FROM disf d LEFT JOIN (
+                SELECT conv_id, day, sub, count(*) AS n FROM tqc GROUP BY ALL
+            ) t ON d.conv_id = t.conv_id AND d.day = t.day AND d.sub = t.sub
+            WHERE coalesce(t.n, 0) <> 1
+            UNION ALL
+            SELECT c.conv_id, c.filename,
+                   'Audio marked as completed but pulled transcript not found'
+            FROM completed c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM turns t
+                WHERE t.conv_id = c.conv_id AND t.day = c.day AND t.sub = c.sub
+            )
         """,
     }
     return extra | {

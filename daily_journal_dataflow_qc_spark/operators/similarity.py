@@ -99,20 +99,39 @@ def brute_force_knn(
                     if hit.size:
                         sims[r, hit] = -np.inf
             kk = min(k, sims.shape[1])
-            n_q = sims.shape[0]
+            n_q, n_c = sims.shape
             # tie-break: score desc, candidate id asc. argpartition alone
             # selects an ARBITRARY subset among candidates tied at the k-th
             # score boundary (worst case: a zero-norm query makes the whole
-            # row tie at +inf) — widen the cut to every candidate tied with
-            # the k-th score before the deterministic lexsort.
+            # row tie at +inf) — the cut must widen across the boundary tie
+            # before the deterministic lexsort.
+            #
+            # Kernel shape is MEASURED (4096 queries x 200k candidates,
+            # pinned cores, see BENCH/BASELINE.md): a per-row loop over a
+            # cache-resident 1.6MB row beats every batched argpartition
+            # variant, which materialize O(block x n_cand) int64 index
+            # arrays and go DRAM-bound (full batch 128s, 64-row blocks
+            # 11.5s, 256-row blocks 17.6s vs ~9s per-row). The per-row
+            # kernel below improves on the naive loop ~20% by (a)
+            # partitioning ASCENDING at n-k-1 — no negated-row copy — and
+            # (b) detecting a boundary tie from the (k+1)-th element alone,
+            # so the full row >= thresh widening scan runs ONLY for rows
+            # that actually tie across the cut.
             nn_idx = np.empty((n_q, kk), dtype=np.int64)
             for r in range(n_q):
                 row = sims[r]
-                part = np.argpartition(-row, kk - 1)[:kk]
-                thresh = row[part].min()
-                cand = np.where(row >= thresh)[0]
-                order = np.lexsort((ids[cand], -row[cand]))[:kk]
-                nn_idx[r] = cand[order]
+                if kk < n_c:
+                    part = np.argpartition(row, n_c - kk - 1)
+                    top = part[n_c - kk :]
+                    thresh = row[top].min()
+                    if row[part[n_c - kk - 1]] >= thresh:
+                        cand_i = np.where(row >= thresh)[0]
+                    else:
+                        cand_i = top
+                else:
+                    cand_i = np.arange(n_c)
+                order = np.lexsort((ids[cand_i], -row[cand_i]))[:kk]
+                nn_idx[r] = cand_i[order]
             # columnar output assembly (no per-row Python tuple loop)
             sel = sims[np.arange(n_q)[:, None], nn_idx]
             out_s = _round_half_away(np.where(np.isposinf(sel), np.nan, sel))
@@ -137,6 +156,7 @@ def lsh_bucketed_knn(
     vec_col: str = "embedding",
     chunk_rows: int = 1024,
     n_rows_hint: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate NN: random-hyperplane signatures -> per-bucket exact
     search, optionally across ``n_tables`` independent hash tables (the
@@ -162,8 +182,13 @@ def lsh_bucketed_knn(
     if n_planes is None:
         n = n_rows_hint if n_rows_hint is not None else embeddings.count()
         n_planes = max(4, int(math.ceil(math.log2(max(n, 2)))))
-    first = embeddings.select(vec_col).head()
-    dim = len(first[0])
+    if dim is None:
+        # dimension probe: 1 row to the driver. Callers that know the
+        # contract dimension should pass ``dim`` — the probe disappears and
+        # EVERY batch is validated against it inside the Arrow pass instead.
+        first = embeddings.select(vec_col).head()
+        dim = len(first[0])
+    expected_dim = dim
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes * n_tables))
     bc = spark.sparkContext.broadcast(planes)
@@ -174,6 +199,12 @@ def lsh_bucketed_knn(
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if m.shape[1] != expected_dim:
+                raise ValueError(
+                    f"{vec_col} dimension {m.shape[1]} != declared dim "
+                    f"{expected_dim}; the seeded hyperplanes (and any "
+                    "precomputed oracle literals) are shape-specific"
+                )
             bits = (m @ bc.value) > 0  # (batch, n_planes * n_tables)
             frames = []
             for t in range(n_tables):

@@ -232,6 +232,10 @@ class SessionQcProcessor(StatefulProcessor):
         gaps = np.diff(secs)
         with np.errstate(divide="ignore", invalid="ignore"):
             gpw = np.where(arr[:-1, 1] != 0, gaps / arr[:-1, 1], math.nan)
+        # JVM parity: gap/0 and gap/null are SQL NULL and array_min/max skip
+        # nulls — drop the nan entries instead of letting Python min()/max()
+        # see them (nan comparisons are position-dependent)
+        gpw = gpw[~np.isnan(gpw)]
         gaps = gaps.tolist()
         gpw = gpw.tolist()
         return {
@@ -374,19 +378,34 @@ class SessionQcProcessor(StatefulProcessor):
 
     @staticmethod
     def _seg_agg(seg: pd.DataFrame) -> tuple:
-        """Vectorized QC sums for one session segment of the batch."""
+        """Vectorized QC sums for one session segment of the batch.
+
+        NULL metric columns (a redaction-violated turn has null text, so
+        every text-derived metric is null and Arrow hands the batch over as
+        float64+NaN) follow the JVM aggregate's skip-null semantics: pandas
+        sum/min/max skip NaN natively; an ALL-null segment coerces min/max
+        words to 0 (the agg state schema is non-nullable; such a diary is
+        any_violated and excluded from the clean transcript outputs).
+        Round-4 note: the previous ``to_numpy(dtype=int64)`` here and in
+        _seg_pairs unsafe-cast NaN to INT64_MIN — garbage word stats on
+        violated diaries, latent only because those diaries are excluded
+        from every compared output."""
         ts = seg["ts_us"].to_numpy(dtype=np.int64)
-        wc = seg["word_count"].to_numpy(dtype=np.int64)
+        wcs = seg["word_count"]
+        wmin, wmax = wcs.min(), wcs.max()
+        ascii_nn = seg["is_ascii"].dropna()
         roles = "\x1f".join(dict.fromkeys(str(r) for r in seg["role"]))
         return (
             int(ts.min()), int(ts.max()), int(len(seg)),
             bool(seg["has_tool"].any()), bool(seg["violated"].any()),
-            int(seg["is_s1"].sum()), int(wc.sum()), int(wc.min()), int(wc.max()),
+            int(seg["is_s1"].sum()), int(wcs.sum()),
+            0 if pd.isna(wmin) else int(wmin),
+            0 if pd.isna(wmax) else int(wmax),
             int(seg["inaudible_count"].sum()), int(seg["questionable_count"].sum()),
             int(seg["other_bracketed_words"].sum()), int(seg["redactions"].sum()),
             float(seg["nonverbal_edits"].sum()), float(seg["verbal_edits"].sum()),
             float(seg["repeats"].sum()), float(seg["restarts"].sum()),
-            bool(seg["is_ascii"].all()), roles,
+            bool(ascii_nn.all()) if len(ascii_nn) else False, roles,
         )
 
     @staticmethod
@@ -406,13 +425,29 @@ class SessionQcProcessor(StatefulProcessor):
 
     @staticmethod
     def _seg_pairs(seg: pd.DataFrame) -> list[tuple[int, int]]:
-        return [
-            (int(t), int(w))
-            for t, w in zip(
-                seg["ts_us"].to_numpy(dtype=np.int64),
-                seg["word_count"].to_numpy(dtype=np.int64),
-            )
-        ]
+        """Python tuples are the ListState API FLOOR: PySpark 4.1's
+        ListState.put/appendList signatures take ``List[Tuple]`` and the
+        state client re-rows them into Arrow batches itself — there is no
+        columnar payload entry point to hand a numpy array to. Measured
+        cost of this boundary: Series.tolist() + zip converts numpy->int
+        in C at ~195 ns/turn vs ~290 ns/turn for a per-element int()
+        comprehension (2M-turn micro-bench, BENCH/BASELINE.md) — ~1.5x
+        cheaper, and negligible against the per-batch Arrow transfer.
+
+        NULL word_count (a redaction-violated turn's text is null) maps to
+        0: the JVM backend's gap-per-word is ``gap / wc`` where BOTH null
+        and zero divisors yield SQL NULL, excluded from array_min/max —
+        _diary_row mirrors that by nan-masking wc == 0. (The pre-round-5
+        ``to_numpy(dtype=int64)`` form silently unsafe-cast NaN to
+        INT64_MIN here — garbage per-word stats on violated diaries,
+        latent because violated diaries are excluded from the compared
+        outputs; surfaced by the tolist change and fixed properly.)"""
+        wc = seg["word_count"]
+        if wc.isna().any():
+            wc = wc.fillna(0)
+        if wc.dtype.kind == "f":
+            wc = wc.astype(np.int64)
+        return list(zip(seg["ts_us"].tolist(), wc.tolist()))
 
     def _dedup_batch(self, idx: np.ndarray) -> np.ndarray:
         """EXACT first-delivery keep-mask over the (ts, turn_idx)-sorted

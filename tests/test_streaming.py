@@ -1193,3 +1193,98 @@ def test_catalog_table_streaming_e2e(spark, stream_input, synth_dir, cfg):
     assert got_pending, "fixture produced no pending keys"
     for name in ("transcripts", "tool_calls"):
         spark.sql(f"DROP TABLE cat_e2e.{name}")
+
+
+def test_streamed_files_incremental_parse(tmp_path, monkeypatch):
+    """VERDICT r04 #3: the admitted-file scan must be incremental — a
+    60-micro-batch stream parses each committed metadata-log file ONCE
+    (per-trigger parse work = that trigger's new files, not O(total)), and
+    the (mtime, size) fingerprint invalidates a recreated checkpoint."""
+    import json as _json
+
+    from daily_journal_dataflow_qc_spark.streaming import job
+
+    cp = tmp_path / "cp"
+    src = cp / "sources" / "0"
+    src.mkdir(parents=True)
+    calls = {"n": 0}
+    real_loads = _json.loads
+
+    def counting(s, *a, **k):
+        calls["n"] += 1
+        return real_loads(s, *a, **k)
+
+    monkeypatch.setattr(job.json, "loads", counting)
+    per_trigger = []
+    for b in range(60):
+        (src / str(b)).write_text(
+            "v1\n" + _json.dumps({"path": f"/data/f{b}.parquet"}) + "\n"
+        )
+        before = calls["n"]
+        got = job._streamed_files(str(cp), b)
+        per_trigger.append(calls["n"] - before)
+        assert got == sorted(f"/data/f{i}.parquet" for i in range(b + 1))
+    # FLAT: exactly the one new entry parsed per trigger, every trigger
+    assert per_trigger == [1] * 60, per_trigger
+    # a later batch id with no new files parses nothing at all
+    before = calls["n"]
+    assert job._streamed_files(str(cp), 59) is not None
+    assert calls["n"] == before
+    # recreated checkpoint at the same path: fingerprint mismatch re-parses
+    (src / "0").write_text(
+        "v1\n" + _json.dumps({"path": "/data/other.parquet"}) + "\n"
+    )
+    got = job._streamed_files(str(cp), 0)
+    assert got == ["/data/other.parquet"]
+
+
+def test_tws_null_word_count_matches_jvm_null_semantics():
+    """A redaction-violated turn has null text -> every text-derived metric
+    arrives as float64+NaN. The TWS aggregate must mirror the JVM
+    backend's skip-null semantics (F.sum/min/max skip nulls; gap/null and
+    gap/0 are SQL NULL, excluded from per-word min/max) — round 4's
+    to_numpy(int64) silently cast NaN to INT64_MIN here."""
+    import numpy as np
+
+    from daily_journal_dataflow_qc_spark.streaming.tws import SessionQcProcessor
+
+    seg = pd.DataFrame(
+        {
+            "ts_us": [0, 10_000_000, 20_000_000],
+            "word_count": [4.0, np.nan, 2.0],
+            "role": ["S1", "S1", "S2"],
+            "has_tool": [False, False, False],
+            "violated": [False, True, False],
+            "is_s1": [1, 1, 0],
+            "inaudible_count": [0.0, np.nan, 1.0],
+            "questionable_count": [0.0, np.nan, 0.0],
+            "other_bracketed_words": [0.0, np.nan, 0.0],
+            "redactions": [0.0, np.nan, 0.0],
+            "nonverbal_edits": [1.0, np.nan, 0.0],
+            "verbal_edits": [0.0, np.nan, 0.0],
+            "repeats": [0.0, np.nan, 0.0],
+            "restarts": [0.0, np.nan, 0.0],
+            "is_ascii": [True, None, True],
+            "turn_idx": [1, 2, 3],
+        }
+    )
+    p = SessionQcProcessor(20)
+    pairs = p._seg_pairs(seg)
+    assert pairs == [(0, 4), (10_000_000, 0), (20_000_000, 2)]
+    agg = p._seg_agg(seg)
+    assert (agg[6], agg[7], agg[8]) == (6, 2, 4)  # word sum/min/max skip null
+    assert agg[4] is True and agg[9] == 1  # violated any; inaudible skip-null
+    assert agg[17] is True  # is_ascii: min over NON-null values
+    row = p._diary_row("c", agg, pairs)
+    # gaps are 10s each; the null turn's wc->0 divisor is EXCLUDED like SQL
+    # NULL, so both per-word stats come from the wc=4 turn alone
+    assert row["min_timestamp_space_per_word"] == 2.5
+    assert row["max_timestamp_space_per_word"] == 2.5
+    assert row["word_count"] == 6
+
+    # ALL-null segment: min/max words coerce to 0 (non-nullable agg state),
+    # encoding falls to UTF-8 (JVM: min over zero non-null values is null)
+    seg2 = seg.iloc[[1]]
+    agg2 = p._seg_agg(seg2)
+    assert (agg2[6], agg2[7], agg2[8]) == (0, 0, 0)
+    assert agg2[17] is False

@@ -224,3 +224,36 @@ def test_audio_metrics_m1_m2(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
         audio_metrics(media, decoder="real").collect()
+
+
+def test_brute_force_knn_tie_determinism(spark):
+    """The batched top-k cut must stay deterministic under heavy ties:
+    identical vectors (cos exactly 1 across the k-boundary), a zero-norm
+    row (whole row ties at the NaN sentinel), and k>1 — ordering is
+    (score desc, nn_id asc) with the cut widened across the boundary tie."""
+    vecs = [[1.0, 0.0]] * 5 + [[0.0, 1.0]] * 2 + [[0.0, 0.0]]
+    pdf = pd.DataFrame({"vec_id": range(8), "embedding": vecs})
+    df = spark.createDataFrame(pdf)
+    out = (
+        brute_force_knn(df, df, k=3)
+        .toPandas()
+        .sort_values(["vec_id", "rk"])
+        .set_index(["vec_id", "rk"])
+    )
+    # NaN (zero-norm candidate 7) ranks ABOVE every number — DuckDB orders
+    # NaN first in DESC sorts and the oracle parity pins that. After it,
+    # query 0's candidates 1-4 all tie at cos=1 -> smallest ids win, in order
+    assert list(out.loc[0]["nn_id"]) == [7, 1, 2]
+    assert pd.isna(out.loc[(0, 1), "cos_sim"])
+    assert (out.loc[0]["cos_sim"][1:] == 1.0).all()
+    # query 2 (same tie family, nonzero self id): self excluded, ids 0,1 next
+    assert list(out.loc[2]["nn_id"]) == [7, 0, 1]
+    # query 7 (zero-norm QUERY): every cosine is NaN, ranked by id asc
+    assert list(out.loc[7]["nn_id"]) == [0, 1, 2]
+    assert out.loc[7]["cos_sim"].isna().all()
+    # query 5: NaN sentinel first, then true NN 6 (cos 1), then cos-0 family
+    assert list(out.loc[5]["nn_id"]) == [7, 6, 0]
+    assert pd.isna(out.loc[(5, 1), "cos_sim"])
+    assert list(out.loc[5]["cos_sim"][1:]) == [1.0, 0.0]
+    # duplicate-free output: one row per (vec_id, rk)
+    assert len(out) == 8 * 3
