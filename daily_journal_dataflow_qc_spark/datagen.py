@@ -303,6 +303,16 @@ def generate(
             "payload": tc_payload,
         }
     )
+    # tool-call RE-DELIVERIES: re-emit ~2% of rows VERBATIM (identical ts —
+    # the transport redelivers the same event). This is the threat model the
+    # distinct-ts attempt counting defends against (round-4 ADVICE): a
+    # duplicated request row must NOT count as an extra push attempt and a
+    # duplicated return row must NOT double-gate, in batch or streaming.
+    dup_tc = tool_calls.iloc[rng2.random(len(tool_calls)) < 0.02].copy()
+    tool_calls = pd.concat([tool_calls, dup_tc], ignore_index=True)
+    tool_calls = tool_calls.sample(frac=1.0, random_state=seed + 1).reset_index(
+        drop=True
+    )
     return transcripts, tool_calls, conv_meta
 
 
@@ -338,7 +348,7 @@ def generate_scaled(
 
 # bump when generation logic changes: busts the idempotency markers so stale
 # cached fixtures regenerate
-DATAGEN_VERSION = 3
+DATAGEN_VERSION = 4
 
 
 def write_parquet_scaled(
