@@ -117,3 +117,33 @@ def test_unknown_fields_skipped():
     r = sm.StateResponse()
     r.ParseFromString(bytes(extra))
     assert r.statusCode == 3 and r.errorMessage == "x"
+
+def test_deep_auto_vivification_presence_recursive():
+    """ADVICE r04: presence must recurse — after a two-level auto-vivified
+    chained assignment (req.statefulProcessorCall.setHandleState.state = N),
+    the INTERMEDIATE hop is untouched but must still serialize; same for a
+    repeated field reached through an auto-vivified submessage."""
+    req = sm.StateRequest(version=1)
+    base = req.SerializeToString()
+    req.statefulProcessorCall.setHandleState.state = 2
+    assert req.HasField("statefulProcessorCall")
+    wire = req.SerializeToString()
+    assert wire != base
+    rt = sm.StateRequest()
+    rt.ParseFromString(wire)
+    assert rt.HasField("statefulProcessorCall")
+    assert rt.statefulProcessorCall.setHandleState.state == 2
+
+    # repeated field appended through an auto-vivified hop also serializes
+    it = sm.StateResponseWithMapIterator()
+    _ = it.kvPair  # vivify the list without touching the parent
+    it.kvPair.append(sm.KeyAndValuePair(key=b"k", value=b"v"))
+    rt2 = sm.StateResponseWithMapIterator()
+    rt2.ParseFromString(it.SerializeToString())
+    assert [(p.key, p.value) for p in rt2.kvPair] == [(b"k", b"v")]
+
+    # pure READ chains still leave everything absent
+    probe = sm.StateRequest()
+    _ = probe.statefulProcessorCall.setHandleState
+    assert not probe.HasField("statefulProcessorCall")
+    assert probe.SerializeToString() == b""
