@@ -247,3 +247,72 @@ def test_table_format_dispatch(spark, synth_dir):
     with _pytest.raises(ValueError, match="missing contract columns"):
         read_table(spark, "tfdb.transcripts", bad)
     spark.sql("DROP TABLE tfdb.transcripts")
+
+
+def test_iceberg_catalog_smoke():
+    """Env-gated REAL-Iceberg exercise of the table-format dispatch
+    (VERDICT r04 #6): when DJDQ_ICEBERG_JAR points at an
+    iceberg-spark-runtime jar, spin up an isolated session with a local
+    hadoop catalog, write an Iceberg table, and drive read_table through
+    BOTH the batch and streaming admission paths. Skips cleanly when the
+    jar is absent (this sandbox ships none); README documents the
+    spark-submit conf."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    jar = os.environ.get("DJDQ_ICEBERG_JAR")
+    if not jar or not os.path.isfile(jar):
+        import pytest as _pytest
+
+        _pytest.skip("DJDQ_ICEBERG_JAR not set; iceberg-spark-runtime absent")
+
+    script = r"""
+import os, sys, tempfile
+sys.path.insert(0, os.environ["DJDQ_REPO"])
+from pyspark.sql import SparkSession
+import pandas as pd
+from daily_journal_dataflow_qc_spark import schemas
+from daily_journal_dataflow_qc_spark.sources.table_format import read_table
+
+wh = tempfile.mkdtemp(prefix="djdq_iceberg_wh_")
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.jars", os.environ["DJDQ_ICEBERG_JAR"])
+    .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.local.type", "hadoop")
+    .config("spark.sql.catalog.local.warehouse", wh)
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+pdf = pd.DataFrame({
+    "conv_id": ["c1", "c1"], "turn_idx": pd.array([1, 2], dtype="int32"),
+    "role": ["S1", "S2"], "text": ["hello", "world"], "tool": [None, None],
+    "ts": pd.to_datetime(["2023-03-01 10:00:00", "2023-03-01 10:00:05"]).tz_localize("UTC"),
+})
+spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS).writeTo("local.db.t").using("iceberg").createOrReplace()
+batch = read_table(spark, "local.db.t", schemas.TRANSCRIPTS)
+assert batch.count() == 2, batch.count()
+stream = read_table(spark, "local.db.t", schemas.TRANSCRIPTS, streaming=True)
+assert stream.isStreaming
+rows = []
+q = (stream.writeStream.outputMode("append")
+     .foreachBatch(lambda df, bid: rows.append(df.count()))
+     .option("checkpointLocation", tempfile.mkdtemp(prefix="djdq_iceberg_ckpt_"))
+     .trigger(availableNow=True).start())
+q.awaitTermination(300)
+assert sum(rows) == 2, rows
+print("ICEBERG_SMOKE_OK")
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(script)
+        path = f.name
+    env = dict(os.environ)
+    env["DJDQ_REPO"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, path], capture_output=True, text=True, env=env, timeout=600
+    )
+    assert r.returncode == 0 and "ICEBERG_SMOKE_OK" in r.stdout, (
+        r.stdout[-2000:] + r.stderr[-2000:]
+    )
