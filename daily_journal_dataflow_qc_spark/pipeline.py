@@ -92,9 +92,15 @@ def run_batch(
     # final row sets
     accepted = compile_ops.accepted_set(qc, tqc, disf)
     rejected = compile_ops.rejected_set(qc)
+    # turn_stats evidence for the completed-audio reconciliation is passed
+    # at DIARY grain (tqc identity): tqc/disf/turn_stats all derive from the
+    # same clean row set, so their diary identity sets are equal by
+    # construction — and handing the per-turn frame here would re-derive the
+    # whole heavy pass (windows + redaction UDF) just to materialize issues.
     issues = compile_ops.issues_set(
         qc, requests, returns, violated, cfg, tool_calls=tool_calls,
-        transcript_qc=tqc, disfluencies=disf, turn_stats=stats,
+        transcript_qc=tqc, disfluencies=disf,
+        turn_stats=tqc.select("conv_id", "day", "daily_submission_number"),
     )
 
     turn_stats_out = stats.select(
@@ -184,10 +190,13 @@ def run_batch_staged(
     staged_stats.write.mode("overwrite").parquet(staging_dir)
 
     staged = spark.read.parquet(staging_dir)
+    # diary-grain and consumed by clean, the violation row set AND two of
+    # the issues reconciliations — persist so the staged table is scanned
+    # once for it, not once per consumer
     flags = staged.groupBy(*transcript_ops.DIARY_KEY).agg(
         F.max("violated").alias("_any_violated"),
         F.first("filename").alias("filename"),
-    )
+    ).persist()
     violated = flags.filter(F.col("_any_violated")).select(
         *transcript_ops.DIARY_KEY, "filename"
     )
@@ -204,9 +213,12 @@ def run_batch_staged(
 
     accepted = compile_ops.accepted_set(qc, tqc, disf)
     rejected = compile_ops.rejected_set(qc)
+    # diary-grain turn_stats evidence (see run_batch): equal identity set,
+    # no extra pruned scan of the staged table per issues materialization
     issues = compile_ops.issues_set(
         qc, requests, returns, violated, cfg, tool_calls=tool_calls,
-        transcript_qc=tqc, disfluencies=disf, turn_stats=clean,
+        transcript_qc=tqc, disfluencies=disf,
+        turn_stats=tqc.select("conv_id", "day", "daily_submission_number"),
     )
 
     turn_stats_out = clean.select(

@@ -671,6 +671,7 @@ def start_pending_flags_query(
     output_root: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     trigger_seconds: float | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """J7/J8: watermarked left-outer stream-stream join of requests x returns.
     Requests with no return within the deadline are emitted once the
@@ -692,7 +693,13 @@ def start_pending_flags_query(
     _apply_stream_conf(spark)
     from ..operators.transcript import push_attempt_stats
 
-    tc = read_table(spark, tool_calls_dir, schemas.TOOL_CALLS, streaming=True)
+    if is_catalog_table(tool_calls_dir):
+        tc = read_table(spark, tool_calls_dir, schemas.TOOL_CALLS, streaming=True)
+    else:
+        reader = spark.readStream.schema(schemas.TOOL_CALLS)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        tc = reader.parquet(tool_calls_dir)
     req = (
         tc.filter(F.col("kind") == "request")
         .select("conv_id", "request_key", F.col("ts").alias("req_ts"))
@@ -769,10 +776,18 @@ def start_pending_flags_query(
         # the 1-hour watermark, so a retry of the same (conv_id,
         # request_key) arriving >1h of event time after the first request
         # re-enters the join and would emit a SECOND pending row for the
-        # key (the batch tier's issues_set is one row per key). Guard by
-        # anti-joining against everything this sink already committed —
-        # pending flags are rare (weeks-overdue requests), so the
-        # accumulated output is tiny and broadcast-able by AQE.
+        # key (the batch tier's issues_set is one row per key, aged from
+        # the MIN request ts). Two-level guard: keep-earliest within the
+        # emitting batch (both emissions usually become due at the same
+        # watermark advance), then anti-join against everything this sink
+        # already committed (emissions split across batches). Pending
+        # flags are rare (weeks-overdue requests), so both sides are tiny.
+        w_first = Window.partitionBy("conv_id", "filename").orderBy("req_ts")
+        out = (
+            out.withColumn("_rn", F.row_number().over(w_first))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         try:
             prior = sink.read(spark).select("conv_id", "filename").distinct()
             out = out.join(prior, ["conv_id", "filename"], "left_anti")

@@ -24,6 +24,10 @@ def _staged_heavy_pass(spark, synth_dir, cfg):
 
 
 def test_staged_heavy_pass_plan_shape(spark, synth_dir, cfg):
+    # cached frames left behind by pipeline tests (qc/rollup/flags persist)
+    # substitute InMemoryRelations into matching subtrees and change the
+    # exchange count — pin the UNCACHED plan regardless of test order
+    spark.catalog.clearCache()
     plan = _staged_heavy_pass(spark, synth_dir, cfg)._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
 

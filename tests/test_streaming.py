@@ -1288,3 +1288,78 @@ def test_tws_null_word_count_matches_jvm_null_semantics():
     agg2 = p._seg_agg(seg2)
     assert (agg2[6], agg2[7], agg2[8]) == (0, 0, 0)
     assert agg2[17] is False
+
+
+def test_pending_flag_single_row_for_late_retry(spark, cfg):
+    """ADVICE r04: a retry of the same (conv_id, request_key) arriving >1h
+    of EVENT time after the first request outlives the
+    dropDuplicatesWithinWatermark state and re-enters the stream-stream
+    join — the sink must still emit exactly ONE pending row per key (the
+    batch tier ages the min request ts), via in-batch keep-earliest +
+    the committed-keys anti-join."""
+    from daily_journal_dataflow_qc_spark import schemas
+
+    root = "/tmp/djdq_pending_late_retry"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/tool_calls"
+    os.makedirs(src)
+
+    t0 = pd.Timestamp("2023-03-01 10:00:00", tz="UTC")
+
+    def tc(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "request_key": [r[1] for r in rows],
+                "kind": [r[3] if len(r) > 3 else "request" for r in rows],
+                "tool": ["transcribeme"] * len(rows),
+                "ts": [r[2] for r in rows],
+                "payload": [None] * len(rows),
+            }
+        )
+
+    # Shape MEASURED against the raw join (which emits k.wav TWICE for it —
+    # the guard is what collapses them): every pusher batch carries a RETURN
+    # row too (the global watermark is the MIN over both join inputs', and a
+    # returns side that never sees a row never advances — the join would
+    # never emit), and TWO pusher batches precede the retry (state cleanup
+    # runs against the PREVIOUS batch's watermark, so eviction of the t0
+    # dedup entry lands one batch after the watermark first passes t0+1h).
+    H = pd.Timedelta
+    batches = [
+        tc([("c1", "k.wav", t0), ("c2", "x.wav", t0)]),
+        tc([
+            ("c9", "wm1.wav", t0 + H(hours=6)),
+            ("c9", "wm1.wav", t0 + H(hours=6), "return"),
+        ]),
+        tc([
+            ("c9", "wm2.wav", t0 + H(hours=9)),
+            ("c9", "wm2.wav", t0 + H(hours=9), "return"),
+        ]),
+        # the late RETRY: 10h after the first request, well past the 1h
+        # dedup watermark and above the current global watermark (t0+8h)
+        tc([("c1", "k.wav", t0 + H(hours=10))]),
+        # final pusher: watermark sails past every deadline at once
+        tc([
+            ("c9", "wm3.wav", t0 + H(days=40)),
+            ("c9", "wm3.wav", t0 + H(days=40), "return"),
+        ]),
+    ]
+    for pdf in batches:
+        spark.createDataFrame(pdf, schema=schemas.TOOL_CALLS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.2)
+
+    out_root = f"{root}/out"
+    q, sink = start_pending_flags_query(
+        spark, src, out_root, cfg, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    got = sink.read(spark).toPandas()
+    per_key = got.groupby(["conv_id", "filename"]).size()
+    assert per_key.get(("c1", "k.wav"), 0) == 1, got.to_string()
+    assert per_key.get(("c2", "x.wav"), 0) == 1
+    # the retry must not have displaced the first-request age
+    k_rows = got[(got.conv_id == "c1") & (got.filename == "k.wav")]
+    assert pd.Timestamp(k_rows.iloc[0]["req_ts"], tz="UTC") == t0
