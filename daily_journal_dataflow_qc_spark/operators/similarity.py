@@ -79,70 +79,90 @@ def brute_force_knn(
     c_mat, c_zero = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_zero))
 
+    # per-slab GEMM buffer cap: the sims matrix is (slab, n_candidates)
+    # float64 — an unchunked 10k-row Arrow batch against 200k candidates
+    # would be a 16 GB allocation PER TASK. Slabs keep peak task memory
+    # ~64 MB regardless of candidate count.
+    _SIMS_TARGET_BYTES = 64 << 20
+
     def score(batches):
         ids, mat, zero = bc.value
+        # self-exclusion lookups: sorted-id searchsorted instead of a full
+        # O(n_cand) scan per query row (that scan is 4G comparisons at
+        # 20k x 200k)
+        sort_idx = np.argsort(ids, kind="stable")
+        ids_sorted = ids[sort_idx]
+        chunk = max(16, _SIMS_TARGET_BYTES // (8 * max(len(ids), 1)))
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q, q_zero = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            sims = q @ mat.T  # (batch, n_candidates)
-            # zero-norm on either side -> NaN cosine (oracle parity). DuckDB
-            # orders NaN above every number in DESC sorts, so rank NaN first.
-            if zero.any():
-                sims[:, zero] = np.inf
-            if q_zero.any():
-                sims[q_zero, :] = np.inf
-            if exclude_self:
-                for r, qid in enumerate(q_ids):
-                    hit = np.where(ids == qid)[0]
-                    if hit.size:
-                        sims[r, hit] = -np.inf
-            kk = min(k, sims.shape[1])
-            n_q, n_c = sims.shape
-            # tie-break: score desc, candidate id asc. argpartition alone
-            # selects an ARBITRARY subset among candidates tied at the k-th
-            # score boundary (worst case: a zero-norm query makes the whole
-            # row tie at +inf) — the cut must widen across the boundary tie
-            # before the deterministic lexsort.
-            #
-            # Kernel shape is MEASURED (4096 queries x 200k candidates,
-            # pinned cores, see BENCH/BASELINE.md): a per-row loop over a
-            # cache-resident 1.6MB row beats every batched argpartition
-            # variant, which materialize O(block x n_cand) int64 index
-            # arrays and go DRAM-bound (full batch 128s, 64-row blocks
-            # 11.5s, 256-row blocks 17.6s vs ~9s per-row). The per-row
-            # kernel below improves on the naive loop ~20% by (a)
-            # partitioning ASCENDING at n-k-1 — no negated-row copy — and
-            # (b) detecting a boundary tie from the (k+1)-th element alone,
-            # so the full row >= thresh widening scan runs ONLY for rows
-            # that actually tie across the cut.
-            nn_idx = np.empty((n_q, kk), dtype=np.int64)
-            for r in range(n_q):
-                row = sims[r]
-                if kk < n_c:
-                    part = np.argpartition(row, n_c - kk - 1)
-                    top = part[n_c - kk :]
-                    thresh = row[top].min()
-                    if row[part[n_c - kk - 1]] >= thresh:
-                        cand_i = np.where(row >= thresh)[0]
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo : lo + chunk]
+                if len(sub) == 0:
+                    continue
+                q_ids = sub[id_col].to_numpy(dtype=np.int64)
+                q, q_zero = _normalize(
+                    np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+                )
+                sims = q @ mat.T  # (slab, n_candidates)
+                # zero-norm on either side -> NaN cosine (oracle parity).
+                # DuckDB orders NaN above every number in DESC sorts, so
+                # rank NaN first.
+                if zero.any():
+                    sims[:, zero] = np.inf
+                if q_zero.any():
+                    sims[q_zero, :] = np.inf
+                if exclude_self:
+                    pos_l = np.searchsorted(ids_sorted, q_ids, side="left")
+                    pos_r = np.searchsorted(ids_sorted, q_ids, side="right")
+                    hits = pos_r - pos_l
+                    one = np.flatnonzero(hits == 1)
+                    sims[one, sort_idx[pos_l[one]]] = -np.inf
+                    for r in np.flatnonzero(hits > 1):  # duplicate cand ids
+                        sims[r, sort_idx[pos_l[r] : pos_r[r]]] = -np.inf
+                kk = min(k, sims.shape[1])
+                n_q, n_c = sims.shape
+                # tie-break: score desc, candidate id asc. argpartition alone
+                # selects an ARBITRARY subset among candidates tied at the k-th
+                # score boundary (worst case: a zero-norm query makes the whole
+                # row tie at +inf) — the cut must widen across the boundary tie
+                # before the deterministic lexsort.
+                #
+                # Kernel shape is MEASURED (4096 queries x 200k candidates,
+                # pinned cores, see BENCH/BASELINE.md): a per-row loop over a
+                # cache-resident 1.6MB row beats every batched argpartition
+                # variant, which materialize O(block x n_cand) int64 index
+                # arrays and go DRAM-bound (full batch 128s, 64-row blocks
+                # 11.5s, 256-row blocks 17.6s vs ~9s per-row). The per-row
+                # kernel below improves on the naive loop ~20% by (a)
+                # partitioning ASCENDING at n-k-1 — no negated-row copy — and
+                # (b) detecting a boundary tie from the (k+1)-th element alone,
+                # so the full row >= thresh widening scan runs ONLY for rows
+                # that actually tie across the cut.
+                nn_idx = np.empty((n_q, kk), dtype=np.int64)
+                for r in range(n_q):
+                    row = sims[r]
+                    if kk < n_c:
+                        part = np.argpartition(row, n_c - kk - 1)
+                        top = part[n_c - kk :]
+                        thresh = row[top].min()
+                        if row[part[n_c - kk - 1]] >= thresh:
+                            cand_i = np.where(row >= thresh)[0]
+                        else:
+                            cand_i = top
                     else:
-                        cand_i = top
-                else:
-                    cand_i = np.arange(n_c)
-                order = np.lexsort((ids[cand_i], -row[cand_i]))[:kk]
-                nn_idx[r] = cand_i[order]
-            # columnar output assembly (no per-row Python tuple loop)
-            sel = sims[np.arange(n_q)[:, None], nn_idx]
-            out_s = _round_half_away(np.where(np.isposinf(sel), np.nan, sel))
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(q_ids, kk),
-                    "nn_id": ids[nn_idx].ravel(),
-                    "cos_sim": out_s.ravel(),
-                    "rk": np.tile(np.arange(1, kk + 1, dtype=np.int32), n_q),
-                }
-            )
+                        cand_i = np.arange(n_c)
+                    ord_r = np.lexsort((ids[cand_i], -row[cand_i]))[:kk]
+                    nn_idx[r] = cand_i[ord_r]
+                # columnar output assembly (no per-row Python tuple loop)
+                sel = sims[np.arange(n_q)[:, None], nn_idx]
+                out_s = _round_half_away(np.where(np.isposinf(sel), np.nan, sel))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(q_ids, kk),
+                        "nn_id": ids[nn_idx].ravel(),
+                        "cos_sim": out_s.ravel(),
+                        "rk": np.tile(np.arange(1, kk + 1, dtype=np.int32), n_q),
+                    }
+                )
 
     return queries.select(id_col, vec_col).mapInPandas(score, KNN_SCHEMA)
 

@@ -147,6 +147,37 @@ def main() -> None:
         ann = lsh_bucketed_knn(emb, n_tables=8, seed=42, n_rows_hint=n_vecs)
         n_ann = ann.count()
         walls["lsh_bucketed_ann"] = round(time.time() - t0, 2)
+
+        # exact top-k baseline: broadcast-GEMM brute force with a 10% query
+        # sample against the FULL candidate set (the per-row selection
+        # kernel this measures is the one BENCH/BASELINE.md's round-5 A/B
+        # picked); k=5 exercises the boundary-tie detection on the replica
+        # clusters' exactly-tied cosines
+        from daily_journal_dataflow_qc_spark.operators.similarity import (
+            brute_force_knn,
+        )
+
+        t0 = time.time()
+        q10 = emb.filter(F.pmod("vec_id", F.lit(10)) == 0)
+        bf = brute_force_knn(q10, emb, k=5).persist()
+        n_bf = bf.count()
+        walls["brute_force_knn_10pct_k5"] = round(time.time() - t0, 2)
+
+        # ANN quality at scale: recall@1 of the multi-table LSH result vs
+        # the exact best cosine on the sampled queries (scores are rounded
+        # to 2dp on both sides, so >= best is an exact-tie-tolerant hit;
+        # NaN exact-best rows — zero-norm queries — are excluded)
+        bf1 = bf.filter((F.col("rk") == 1) & ~F.isnan("cos_sim")).select(
+            F.col("vec_id").alias("_q"), F.col("cos_sim").alias("_best")
+        )
+        n_q10 = bf1.count()
+        ann_hits = (
+            ann.join(bf1, ann["vec_id"] == F.col("_q"), "inner")
+            .filter(F.col("cos_sim") >= F.col("_best"))
+            .count()
+        )
+        recall1 = round(ann_hits / n_q10, 4) if n_q10 else None
+        bf.unpersist()
         import math as _m
 
         n_planes = max(4, int(_m.ceil(_m.log2(max(n_vecs, 2)))))
@@ -196,6 +227,8 @@ def main() -> None:
                     "candidate_pairs": n_cand,
                     "near_dup_pairs": n_near,
                     "ann_rows": n_ann,
+                    "brute_force_rows": n_bf,
+                    "ann_recall_at1_vs_exact": recall1,
                     "ann_n_planes": n_planes,
                     "lsh_buckets": {k: float(v) for k, v in lsh_stats.items()},
                     "ann_buckets": {k: float(v) for k, v in ann_buckets.items()},

@@ -100,8 +100,18 @@ Raw JSON:
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # REPLACE only the headline two-cluster-size section; every appended
+    # "### ..." section (dedup/ANN scale-out, per-round measurement notes)
+    # is preserved verbatim below it
+    tail = ""
+    if os.path.isfile(target):
+        old = open(target).read()
+        idx = old.find("\n### ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(target, "w") as f:
+        f.write(md + tail)
     print(md)
 
 
