@@ -82,10 +82,18 @@ def run_batch(
     if persist_intermediates:
         stats = stats.persist()
     clean_turns, violated = transcript_ops.split_violations(stats)
+    # diary-grain and consumed by THREE issue families (violation flag +
+    # two reconciliations): without the cache one issues materialization
+    # re-runs the redaction-UDF lineage per consuming subtree (measured 8
+    # ArrowEvalPython subtrees in a single issues plan)
+    violated = violated.persist()
     stats = clean_turns
     # ONE combined per-diary aggregation feeds both transcript QC and the
     # disfluency summary (one shuffle over the turn stats instead of two)
-    rollup = transcript_ops.diary_rollup(stats)
+    # diary-grain (tiny) and consumed by tqc + disf + accepted + two issue
+    # reconciliations: persisted so the UDF-bearing turn pass behind it runs
+    # once, mirroring the staged plan's persisted rollup
+    rollup = transcript_ops.diary_rollup(stats).persist()
     tqc = transcript_ops.tqc_from_rollup(rollup)
     disf = transcript_ops.disf_from_rollup(rollup)
 

@@ -184,3 +184,52 @@ def test_pending_flags_topology_plan_shape(spark, stream_input, cfg):
     assert "SortMergeJoin" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_issues_set_runtime_plan_shape(spark, synth_dir, cfg):
+    """Scale pins for the 9-family issues log, asserted on the FINAL
+    adaptive plan. SortMergeJoin is EXPECTED for the diary-grain x
+    diary-grain reconciliations (requests x accepted keys, transcript-QC
+    identity x audio-QC counts): at production scale BOTH sides are
+    unbounded (every diary ever), so hash-shuffled merge joins are the
+    correct plan and forcing broadcast would OOM the driver. What must
+    never appear: a cartesian/nested-loop join (an equi-condition fell
+    off), a Python boundary (the issues log is pure JVM relational work),
+    or a missing broadcast on the conv_meta dimension."""
+    import shutil
+
+    from daily_journal_dataflow_qc_spark.pipeline import (
+        load_inputs,
+        run_batch_from_dir,
+        run_batch_staged,
+    )
+
+    spark.catalog.clearCache()
+    tr, tc, cm = load_inputs(spark, synth_dir)
+    staging = "/tmp/djdq_plan_guard_issues_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    st = run_batch_staged(spark, tr, tc, cm, staging, cfg)
+    df = st.issues
+    df.collect()  # drive THIS DataFrame's query execution to the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the staged plan's issues output is pure JVM relational work: violated
+    # diaries and the tqc/disf evidence come from the persisted diary-grain
+    # frames, never by re-running the redaction-UDF turn pass
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # conv_meta (the only true dimension) broadcasts
+    assert "BroadcastHashJoin" in plan, plan
+    # keep-earliest dedup rides a WindowGroupLimit (rank pushdown), never a
+    # full window sort of the union without the limit optimization
+    assert "WindowGroupLimit" in plan, plan
+
+    # the un-staged path reuses its persisted diary-grain frames (rollup +
+    # violated) instead of re-deriving the UDF-bearing turn pass per
+    # consuming subtree (was measured at 8 ArrowEvalPython subtrees in one
+    # issues plan before the persists)
+    out = run_batch_from_dir(spark, synth_dir, cfg)
+    out.issues.collect()
+    plan2 = out.issues._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan2, plan2[:2000]
