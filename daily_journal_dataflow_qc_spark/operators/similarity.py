@@ -55,6 +55,32 @@ def _normalize(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return mat / norms, zero
 
 
+def _topk_rows(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Deterministic per-row top-``kk`` selection over a (n_q, n_c) score
+    matrix: order by score DESC then candidate id ASC. The per-row shape is
+    MEASURED faster than batched argpartition variants on wide rows (see
+    BENCH/BASELINE.md round-5 kernel A/B): (a) ascending partition at
+    ``n_c-kk-1`` avoids a negated-row copy, (b) the full-row widening scan
+    runs only when the (k+1)-th order statistic reveals a boundary tie."""
+    n_q, n_c = sims.shape
+    nn_idx = np.empty((n_q, kk), dtype=np.int64)
+    for r in range(n_q):
+        row = sims[r]
+        if kk < n_c:
+            part = np.argpartition(row, n_c - kk - 1)
+            top = part[n_c - kk :]
+            thresh = row[top].min()
+            if row[part[n_c - kk - 1]] >= thresh:
+                cand_i = np.where(row >= thresh)[0]
+            else:
+                cand_i = top
+        else:
+            cand_i = np.arange(n_c)
+        ord_r = np.lexsort((ids[cand_i], -row[cand_i]))[:kk]
+        nn_idx[r] = cand_i[ord_r]
+    return nn_idx
+
+
 def brute_force_knn(
     queries: DataFrame,
     candidates: DataFrame,
@@ -137,21 +163,7 @@ def brute_force_knn(
                 # (b) detecting a boundary tie from the (k+1)-th element alone,
                 # so the full row >= thresh widening scan runs ONLY for rows
                 # that actually tie across the cut.
-                nn_idx = np.empty((n_q, kk), dtype=np.int64)
-                for r in range(n_q):
-                    row = sims[r]
-                    if kk < n_c:
-                        part = np.argpartition(row, n_c - kk - 1)
-                        top = part[n_c - kk :]
-                        thresh = row[top].min()
-                        if row[part[n_c - kk - 1]] >= thresh:
-                            cand_i = np.where(row >= thresh)[0]
-                        else:
-                            cand_i = top
-                    else:
-                        cand_i = np.arange(n_c)
-                    ord_r = np.lexsort((ids[cand_i], -row[cand_i]))[:kk]
-                    nn_idx[r] = cand_i[ord_r]
+                nn_idx = _topk_rows(sims, ids, kk)
                 # columnar output assembly (no per-row Python tuple loop)
                 sel = sims[np.arange(n_q)[:, None], nn_idx]
                 out_s = _round_half_away(np.where(np.isposinf(sel), np.nan, sel))
@@ -291,4 +303,214 @@ def lsh_bucketed_knn(
         per_table.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+ASSIGN_SCHEMA = "vec_id long, embedding array<float>, cell int, is_cand boolean"
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    k: int = 1,
+    kmeans_iters: int = 10,
+    train_sample: int = 65536,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 1024,
+    n_rows_hint: int | None = None,
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate self-NN via an IVF (inverted-file) coarse quantizer — the
+    centroid-bucketed complement to ``lsh_bucketed_knn`` (random planes).
+    Classic IVF construction (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — coarse quantizer stage only;
+    public knowledge, no reference-repo counterpart):
+
+    1. TRAIN: spherical k-means on a bounded, hash-deterministic driver
+       sample (``train_sample`` rows — stable under any input partitioning,
+       unlike ``df.sample``), seeded init, ties to the lowest cell index.
+    2. ASSIGN (one Arrow pass, no shuffle): every vector lands in its single
+       best cell as a CANDIDATE; every vector additionally probes its
+       ``n_probe`` best cells as a QUERY (multi-probe recall lever).
+    3. SEARCH: one shuffle keyed by cell; exact chunked GEMM inside each
+       cell (peak task memory O(chunk_rows * |cell|), never O(|cell|^2)).
+    4. REDUCE: candidates live in exactly ONE cell, so cross-probe rows are
+       disjoint — a per-query row_number over (score DESC, nn_id ASC) is the
+       global top-k with no dedup step.
+
+    Exactness anchor: with ``n_probe == n_cells`` every query examines every
+    candidate, so the output EQUALS ``brute_force_knn`` (same tie and
+    zero-norm->NaN semantics; scores stay raw through the reduce and are
+    rounded once at the end) — pinned by test. At partial probe, recall
+    follows cluster structure (clustered corpora ~1.0; the unit suite gates
+    >= 0.9 on synthetic clusters).
+
+    100-TB shape: training cost is bounded by ``train_sample`` regardless of
+    N; the broadcast is n_cells x dim floats; shuffled volume is
+    n_probe * N vectors. Default ``n_cells = ceil(sqrt(N))`` keeps expected
+    |cell| ~ sqrt(N); at billions of rows pass ``n_cells ~ N / 4096`` so
+    cells stay task-sized. Known skew lever: k-means cells are NOT
+    size-balanced — a hot cell is bounded in memory by the chunked GEMM but
+    not in time; raising n_cells (finer quantizer) is the mitigation, since
+    AQE skew-split does not apply inside applyInPandas groups.
+    """
+    spark = embeddings.sparkSession
+    n = n_rows_hint if n_rows_hint is not None else embeddings.count()
+    if n == 0:
+        return spark.createDataFrame([], KNN_SCHEMA)
+    if n_cells is None:
+        n_cells = max(2, int(math.ceil(math.sqrt(n))))
+    n_cells = max(1, min(n_cells, int(n)))
+
+    # --- deterministic training sample -> driver-side spherical k-means ---
+    ratio = max(1, int(n) // train_sample)
+    samp = embeddings.select(id_col, vec_col)
+    if ratio > 1:
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(ratio)) == 0
+        )
+    sp = samp.toPandas().sort_values(id_col, ignore_index=True)
+    if len(sp) == 0:
+        return spark.createDataFrame([], KNN_SCHEMA)
+    mat = np.stack(sp[vec_col].to_numpy()).astype(np.float64)
+    if dim is None:
+        dim = mat.shape[1]
+    elif mat.shape[1] != dim:
+        raise ValueError(
+            f"{vec_col} dimension {mat.shape[1]} != declared dim {dim}"
+        )
+    train, t_zero = _normalize(mat)
+    train = train[~t_zero]
+    rng = np.random.default_rng(seed)
+    if len(train) == 0:
+        # all-zero corpus: arbitrary (seeded) unit centroids; every dot is 0
+        # so assignment degenerates to cell 0 deterministically
+        cents = _normalize(rng.standard_normal((n_cells, dim)))[0]
+    else:
+        n_cells = min(n_cells, len(train))
+        init = np.sort(rng.choice(len(train), size=n_cells, replace=False))
+        cents = train[init].copy()
+        for _ in range(kmeans_iters):
+            a = np.argmax(train @ cents.T, axis=1)  # first-max: lowest cell
+            for c in range(n_cells):
+                mem = train[a == c]
+                if len(mem):
+                    v = mem.mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cents[c] = v / nv  # empty/degenerate cell keeps its centroid
+    bc = spark.sparkContext.broadcast(cents)
+    n_probe_eff = max(1, min(n_probe, n_cells))
+    expected_dim = dim
+
+    def assign(batches):
+        cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m0 = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if m0.shape[1] != expected_dim:
+                raise ValueError(
+                    f"{vec_col} dimension {m0.shape[1]} != trained dim "
+                    f"{expected_dim}; centroids are shape-specific"
+                )
+            m, _ = _normalize(m0)
+            scores = m @ cmat.T  # (batch, n_cells)
+            # stable argsort: equal centroid scores resolve to the lowest
+            # cell index on every run/partitioning
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe_eff]
+            nb = len(pdf)
+            idx = np.repeat(np.arange(nb), n_probe_eff)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64)[idx],
+                    "embedding": pdf[vec_col].iloc[idx].reset_index(drop=True),
+                    "cell": order.ravel().astype(np.int32),
+                    # probe 0 IS the argmax cell: that one row doubles as the
+                    # vector's single candidate-side occurrence
+                    "is_cand": np.tile(np.arange(n_probe_eff) == 0, nb),
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, ASSIGN_SCHEMA)
+
+    raw_schema = "vec_id long, nn_id long, cos_sim double"
+
+    def per_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cand = pdf[pdf["is_cand"]]
+        n_c = len(cand)
+        if n_c == 0 or len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "nn_id": pd.Series([], dtype="int64"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        cand = cand.sort_values("vec_id", ignore_index=True)
+        c_ids = cand["vec_id"].to_numpy(dtype=np.int64)
+        c_mat, c_zero = _normalize(
+            np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+        )
+        q = pdf.sort_values("vec_id", ignore_index=True)
+        kk = min(k, n_c)
+        frames = []
+        for lo in range(0, len(q), chunk_rows):
+            sub = q.iloc[lo : lo + chunk_rows]
+            q_ids = sub["vec_id"].to_numpy(dtype=np.int64)
+            qm, q_zero = _normalize(
+                np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            )
+            sims = qm @ c_mat.T  # (chunk, |cell|) — never (|cell|, |cell|)
+            # zero-norm on either side -> NaN cosine (inf sentinel ranks
+            # first, matching brute_force_knn / DuckDB DESC-NaN ordering)
+            if c_zero.any():
+                sims[:, c_zero] = np.inf
+            if q_zero.any():
+                sims[q_zero, :] = np.inf
+            if exclude_self:
+                # candidate ids are UNIQUE within a cell (one home cell per
+                # vector), so a sorted membership probe suffices
+                pos = np.searchsorted(c_ids, q_ids)
+                hit = (pos < n_c) & (c_ids[np.minimum(pos, n_c - 1)] == q_ids)
+                sims[np.flatnonzero(hit), pos[hit]] = -np.inf
+            nn_idx = _topk_rows(sims, c_ids, kk)
+            sel = sims[np.arange(len(sub))[:, None], nn_idx]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(q_ids, kk),
+                        "nn_id": c_ids[nn_idx].ravel(),
+                        # RAW scores: the global reduce must order by the
+                        # unrounded value or cross-cell 2dp ties would
+                        # scramble the brute-force-equal ranking
+                        "cos_sim": np.where(np.isposinf(sel), np.nan, sel).ravel(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    per = assigned.groupBy("cell").applyInPandas(per_cell, raw_schema)
+    from pyspark.sql import Window
+
+    # Arrow maps the pandas NaN sentinel to SQL NULL on the way out of
+    # per_cell — NULLS FIRST keeps the zero-norm rows ranking ABOVE every
+    # number, matching brute_force_knn (which ranks them via +inf inside
+    # numpy) and the DuckDB DESC-NaN ordering
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_first("cos_sim"), F.asc("nn_id")
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "vec_id",
+            "nn_id",
+            F.round("cos_sim", 2).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )

@@ -177,6 +177,23 @@ def main() -> None:
             .count()
         )
         recall1 = round(ann_hits / n_q10, 4) if n_q10 else None
+
+        # IVF-ANN leg: the centroid-bucketed variant (default sqrt(N) cells,
+        # 2 probes) answering the same top-1 question; recall measured
+        # against the same exact-kNN sample
+        from daily_journal_dataflow_qc_spark.operators.similarity import ivf_knn
+
+        t0 = time.time()
+        ivf = ivf_knn(emb, n_probe=2, seed=42, n_rows_hint=n_vecs).persist()
+        n_ivf = ivf.count()
+        walls["ivf_ann"] = round(time.time() - t0, 2)
+        ivf_hits = (
+            ivf.join(bf1, ivf["vec_id"] == F.col("_q"), "inner")
+            .filter(F.col("cos_sim") >= F.col("_best"))
+            .count()
+        )
+        ivf_recall1 = round(ivf_hits / n_q10, 4) if n_q10 else None
+        ivf.unpersist()
         bf.unpersist()
         import math as _m
 
@@ -229,6 +246,8 @@ def main() -> None:
                     "ann_rows": n_ann,
                     "brute_force_rows": n_bf,
                     "ann_recall_at1_vs_exact": recall1,
+                    "ivf_rows": n_ivf,
+                    "ivf_recall_at1_vs_exact": ivf_recall1,
                     "ann_n_planes": n_planes,
                     "lsh_buckets": {k: float(v) for k, v in lsh_stats.items()},
                     "ann_buckets": {k: float(v) for k, v in ann_buckets.items()},

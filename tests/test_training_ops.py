@@ -18,6 +18,7 @@ from daily_journal_dataflow_qc_spark.operators.multimodal import (
 )
 from daily_journal_dataflow_qc_spark.operators.similarity import (
     brute_force_knn,
+    ivf_knn,
     lsh_bucketed_knn,
 )
 from daily_journal_dataflow_qc_spark.operators.textanalysis import with_text_analysis
@@ -257,3 +258,74 @@ def test_brute_force_knn_tie_determinism(spark):
     assert list(out.loc[5]["cos_sim"][1:]) == [1.0, 0.0]
     # duplicate-free output: one row per (vec_id, rk)
     assert len(out) == 8 * 3
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Exactness anchor: with n_probe == n_cells every query examines every
+    candidate (each candidate lives in exactly one cell), so IVF must EQUAL
+    the exact broadcast-GEMM kNN — including duplicate-vector score ties
+    (nn_id asc) and the zero-norm -> NaN-ranks-first leg. This is a stronger
+    correctness pin than any approximate-recall bound."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 8)).astype(np.float32)
+    vecs = np.vstack([base, base[:10]])  # ids 60-69 duplicate 0-9 (exact ties)
+    vecs[65] = 0.0  # zero-norm row -> NaN cosine on both sides
+    pdf = pd.DataFrame({"vec_id": range(70), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    exact = (
+        brute_force_knn(df, df, k=3)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    ivf = (
+        ivf_knn(df, n_cells=6, n_probe=6, k=3, seed=5)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(exact, ivf, check_dtype=False)
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """Partial probe on cluster-structured data (the case IVF is FOR):
+    n_probe=2 of 8 trained cells must recover >= 0.9 of exact top-1."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    vecs = np.vstack(
+        [c + rng.standard_normal((40, 16)) * 0.05 for c in centers]
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    exact = brute_force_knn(df, df, k=1).toPandas().set_index("vec_id")
+    ivf = (
+        ivf_knn(df, n_cells=8, n_probe=2, k=1, seed=7)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    hits = sum(
+        1
+        for v in exact.index
+        if v in ivf.index and ivf.loc[v, "nn_id"] == exact.loc[v, "nn_id"]
+    )
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"IVF recall@1 {recall:.3f} < 0.9"
+
+
+def test_ivf_deterministic_across_partitioning(spark):
+    """The hash-filtered training sample (sorted by id) and stable tie
+    handling make the whole operator partitioning-invariant: same input
+    under a different partitioning -> identical output."""
+    rng = np.random.default_rng(19)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(120), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    a = (
+        ivf_knn(df, n_cells=5, n_probe=2, k=2, seed=9)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    b = (
+        ivf_knn(df.repartition(7, "vec_id"), n_cells=5, n_probe=2, k=2, seed=9)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
