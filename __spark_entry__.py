@@ -399,13 +399,29 @@ def q_minhash_signature(spark, sf):
 
 
 def q_embedding_nn(spark, sf):
-    # training-data op: exact cosine nearest neighbor (top-1, excl self) via
-    # broadcast candidate matrix + batched GEMM (no cross join — the
-    # interpreted higher-order-fold formulation was ~100x slower)
-    from daily_journal_dataflow_qc_spark.operators.similarity import brute_force_knn
+    # training-data op: exact cosine nearest neighbor (top-1, excl self), two
+    # engines under one driver row (registry cap: EXACTLY 50):
+    #   bf  — broadcast candidate matrix + batched GEMM (no cross join — the
+    #         interpreted higher-order-fold formulation was ~100x slower)
+    #   ivf — the IVF-ANN operator at FULL probe (n_probe = n_cells): every
+    #         query examines every candidate, so its output is provably
+    #         identical to the exact kNN (pinned by
+    #         test_ivf_full_probe_equals_brute_force) and the same DuckDB
+    #         all-pairs oracle hash-validates the approximate operator's
+    #         entire machinery (quantizer, assignment, per-cell GEMM, reduce)
+    from daily_journal_dataflow_qc_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+    )
 
     e = _t(spark, sf, "embeddings")
-    return brute_force_knn(e, e, k=1).select("vec_id", "nn_id", "cos_sim")
+    bf = brute_force_knn(e, e, k=1).select(
+        F.lit("bf").alias("method"), "vec_id", "nn_id", "cos_sim"
+    )
+    ivf = ivf_knn(e, n_cells=8, n_probe=8, k=1, seed=42).select(
+        F.lit("ivf").alias("method"), "vec_id", "nn_id", "cos_sim"
+    )
+    return bf.unionAll(ivf)
 
 
 def q_text_analysis(spark, sf):
@@ -1980,13 +1996,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": f"SELECT doc_id, {mh} FROM documents",
         "embedding_nn": """
-            SELECT vec_id, nn_id, round(cos, 2) AS cos_sim FROM (
-                SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
-                       list_cosine_similarity(a.embedding, b.embedding) AS cos,
-                       row_number() OVER (PARTITION BY a.vec_id
-                                          ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
-                                                   b.vec_id) AS rk
-                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-            ) WHERE rk = 1
+            WITH nn AS (
+                SELECT vec_id, nn_id, round(cos, 2) AS cos_sim FROM (
+                    SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                           list_cosine_similarity(a.embedding, b.embedding) AS cos,
+                           row_number() OVER (PARTITION BY a.vec_id
+                                              ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                                       b.vec_id) AS rk
+                    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+                ) WHERE rk = 1
+            )
+            SELECT m.method, nn.vec_id, nn.nn_id, nn.cos_sim
+            FROM nn, (SELECT 'bf' AS method UNION ALL SELECT 'ivf') m
         """,
     }
