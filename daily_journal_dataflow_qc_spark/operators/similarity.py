@@ -16,6 +16,15 @@
   per-bucket GEMM is CHUNKED — peak memory per task is O(chunk * bucket),
   never O(bucket^2), so a hot bucket cannot OOM an executor.
 
+* ``ivf_knn`` — approximate: IVF coarse quantizer (driver-trained spherical
+  k-means, bounded sample), single-cell candidates + multi-probe queries,
+  exact chunked GEMM per cell. ``n_probe=n_cells`` provably equals
+  ``brute_force_knn`` — the exactness anchor the driver row hash-checks.
+
+* ``embedding_near_dup`` — the vector-space dedup mode: all pairs with
+  cosine >= threshold, IVF cells for candidate generation, exact in-cell
+  verification (full probe = the exact threshold join).
+
 Rounding parity: cosine scores are rounded half-away-from-zero (SQL ROUND
 semantics — DuckDB/Spark round()), NOT Python round()/np.round banker's
 rounding, so .xx5 midpoints hash-match the oracle. Zero-norm vectors get a
@@ -309,6 +318,101 @@ def lsh_bucketed_knn(
 ASSIGN_SCHEMA = "vec_id long, embedding array<float>, cell int, is_cand boolean"
 
 
+def _ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int | None,
+    n_probe: int,
+    kmeans_iters: int,
+    train_sample: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    n_rows_hint: int | None,
+    dim: int | None,
+) -> DataFrame | None:
+    """Shared IVF front half (``ivf_knn`` / ``embedding_near_dup``): train a
+    spherical k-means coarse quantizer on a hash-deterministic driver sample,
+    then one Arrow assignment pass — every vector is a CANDIDATE in its
+    single best cell and a QUERY in its ``n_probe`` best cells. Returns the
+    assigned frame (ASSIGN_SCHEMA) or None for an empty input."""
+    n = n_rows_hint if n_rows_hint is not None else embeddings.count()
+    if n == 0:
+        return None
+    if n_cells is None:
+        n_cells = max(2, int(math.ceil(math.sqrt(n))))
+    n_cells = max(1, min(n_cells, int(n)))
+
+    # --- deterministic training sample -> driver-side spherical k-means ---
+    ratio = max(1, int(n) // train_sample)
+    samp = embeddings.select(id_col, vec_col)
+    if ratio > 1:
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(ratio)) == 0
+        )
+    sp = samp.toPandas().sort_values(id_col, ignore_index=True)
+    if len(sp) == 0:
+        return None
+    mat = np.stack(sp[vec_col].to_numpy()).astype(np.float64)
+    if dim is None:
+        dim = mat.shape[1]
+    elif mat.shape[1] != dim:
+        raise ValueError(f"{vec_col} dimension {mat.shape[1]} != declared dim {dim}")
+    train, t_zero = _normalize(mat)
+    train = train[~t_zero]
+    rng = np.random.default_rng(seed)
+    if len(train) == 0:
+        # all-zero corpus: arbitrary (seeded) unit centroids; every dot is 0
+        # so assignment degenerates to cell 0 deterministically
+        cents = _normalize(rng.standard_normal((n_cells, dim)))[0]
+    else:
+        n_cells = min(n_cells, len(train))
+        init = np.sort(rng.choice(len(train), size=n_cells, replace=False))
+        cents = train[init].copy()
+        for _ in range(kmeans_iters):
+            a = np.argmax(train @ cents.T, axis=1)  # first-max: lowest cell
+            for c in range(n_cells):
+                mem = train[a == c]
+                if len(mem):
+                    v = mem.mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cents[c] = v / nv  # empty/degenerate cell keeps its centroid
+    bc = embeddings.sparkSession.sparkContext.broadcast(cents)
+    n_probe_eff = max(1, min(n_probe, n_cells))
+    expected_dim = dim
+
+    def assign(batches):
+        cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m0 = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if m0.shape[1] != expected_dim:
+                raise ValueError(
+                    f"{vec_col} dimension {m0.shape[1]} != trained dim "
+                    f"{expected_dim}; centroids are shape-specific"
+                )
+            m, _ = _normalize(m0)
+            scores = m @ cmat.T  # (batch, n_cells)
+            # stable argsort: equal centroid scores resolve to the lowest
+            # cell index on every run/partitioning
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe_eff]
+            nb = len(pdf)
+            idx = np.repeat(np.arange(nb), n_probe_eff)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64)[idx],
+                    "embedding": pdf[vec_col].iloc[idx].reset_index(drop=True),
+                    "cell": order.ravel().astype(np.int32),
+                    # probe 0 IS the argmax cell: that one row doubles as the
+                    # vector's single candidate-side occurrence
+                    "is_cand": np.tile(np.arange(n_probe_eff) == 0, nb),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, ASSIGN_SCHEMA)
+
+
 def ivf_knn(
     embeddings: DataFrame,
     n_cells: int | None = None,
@@ -358,85 +462,21 @@ def ivf_knn(
     not in time; raising n_cells (finer quantizer) is the mitigation, since
     AQE skew-split does not apply inside applyInPandas groups.
     """
+    assigned = _ivf_assign(
+        embeddings,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        kmeans_iters=kmeans_iters,
+        train_sample=train_sample,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_rows_hint=n_rows_hint,
+        dim=dim,
+    )
     spark = embeddings.sparkSession
-    n = n_rows_hint if n_rows_hint is not None else embeddings.count()
-    if n == 0:
+    if assigned is None:
         return spark.createDataFrame([], KNN_SCHEMA)
-    if n_cells is None:
-        n_cells = max(2, int(math.ceil(math.sqrt(n))))
-    n_cells = max(1, min(n_cells, int(n)))
-
-    # --- deterministic training sample -> driver-side spherical k-means ---
-    ratio = max(1, int(n) // train_sample)
-    samp = embeddings.select(id_col, vec_col)
-    if ratio > 1:
-        samp = samp.filter(
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(ratio)) == 0
-        )
-    sp = samp.toPandas().sort_values(id_col, ignore_index=True)
-    if len(sp) == 0:
-        return spark.createDataFrame([], KNN_SCHEMA)
-    mat = np.stack(sp[vec_col].to_numpy()).astype(np.float64)
-    if dim is None:
-        dim = mat.shape[1]
-    elif mat.shape[1] != dim:
-        raise ValueError(
-            f"{vec_col} dimension {mat.shape[1]} != declared dim {dim}"
-        )
-    train, t_zero = _normalize(mat)
-    train = train[~t_zero]
-    rng = np.random.default_rng(seed)
-    if len(train) == 0:
-        # all-zero corpus: arbitrary (seeded) unit centroids; every dot is 0
-        # so assignment degenerates to cell 0 deterministically
-        cents = _normalize(rng.standard_normal((n_cells, dim)))[0]
-    else:
-        n_cells = min(n_cells, len(train))
-        init = np.sort(rng.choice(len(train), size=n_cells, replace=False))
-        cents = train[init].copy()
-        for _ in range(kmeans_iters):
-            a = np.argmax(train @ cents.T, axis=1)  # first-max: lowest cell
-            for c in range(n_cells):
-                mem = train[a == c]
-                if len(mem):
-                    v = mem.mean(axis=0)
-                    nv = np.linalg.norm(v)
-                    if nv > 0:
-                        cents[c] = v / nv  # empty/degenerate cell keeps its centroid
-    bc = spark.sparkContext.broadcast(cents)
-    n_probe_eff = max(1, min(n_probe, n_cells))
-    expected_dim = dim
-
-    def assign(batches):
-        cmat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m0 = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if m0.shape[1] != expected_dim:
-                raise ValueError(
-                    f"{vec_col} dimension {m0.shape[1]} != trained dim "
-                    f"{expected_dim}; centroids are shape-specific"
-                )
-            m, _ = _normalize(m0)
-            scores = m @ cmat.T  # (batch, n_cells)
-            # stable argsort: equal centroid scores resolve to the lowest
-            # cell index on every run/partitioning
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe_eff]
-            nb = len(pdf)
-            idx = np.repeat(np.arange(nb), n_probe_eff)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64)[idx],
-                    "embedding": pdf[vec_col].iloc[idx].reset_index(drop=True),
-                    "cell": order.ravel().astype(np.int32),
-                    # probe 0 IS the argmax cell: that one row doubles as the
-                    # vector's single candidate-side occurrence
-                    "is_cand": np.tile(np.arange(n_probe_eff) == 0, nb),
-                }
-            )
-
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, ASSIGN_SCHEMA)
 
     raw_schema = "vec_id long, nn_id long, cos_sim double"
 
@@ -513,4 +553,115 @@ def ivf_knn(
             F.round("cos_sim", 2).alias("cos_sim"),
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+PAIR_SCHEMA = "id_a long, id_b long, cos_sim double"
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    kmeans_iters: int = 10,
+    train_sample: int = 65536,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 1024,
+    n_rows_hint: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact hash / minhash-LSH / simhash / n-gram Jaccard /
+    THIS): all unordered pairs with ``cosine >= threshold``, candidate
+    generation via the same IVF coarse quantizer as ``ivf_knn`` and exact
+    verification inside each cell.
+
+    Same structure as minhash-LSH dedup: the bucket (cell) join prunes the
+    pair space to the collision mass, and the within-bucket check is exact —
+    so output pair count IS the problem's own answer size, never O(N^2).
+    A pair can surface in at most ``n_probe`` cells (each side probing the
+    other's home cell); the reduce dedups by (id_a, id_b) keeping max(raw).
+
+    Exactness anchor: with ``n_probe == n_cells`` every pair is examined, so
+    the result is the exact threshold join (pinned by test against a numpy
+    all-pairs oracle). ``threshold`` must be > 0: zero-norm vectors have
+    cosine 0 against everything and by convention never match.
+
+    100-TB shape: identical to ``ivf_knn`` (bounded driver training,
+    n_cells x dim broadcast, n_probe * N shuffled vectors, chunked per-cell
+    GEMM) plus an output-bound pair shuffle for the dedup reduce.
+    """
+    if not threshold > 0:
+        raise ValueError("embedding_near_dup: threshold must be > 0")
+    spark = embeddings.sparkSession
+    assigned = _ivf_assign(
+        embeddings,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        kmeans_iters=kmeans_iters,
+        train_sample=train_sample,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_rows_hint=n_rows_hint,
+        dim=dim,
+    )
+    if assigned is None:
+        return spark.createDataFrame([], PAIR_SCHEMA)
+
+    raw_schema = "id_a long, id_b long, raw_cos double"
+
+    def per_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "raw_cos": pd.Series([], dtype="float64"),
+            }
+        )
+        cand = pdf[pdf["is_cand"]]
+        if len(cand) == 0 or len(pdf) < 2:
+            return empty
+        cand = cand.sort_values("vec_id", ignore_index=True)
+        c_ids = cand["vec_id"].to_numpy(dtype=np.int64)
+        c_mat, _ = _normalize(np.stack(cand["embedding"].to_numpy()).astype(np.float64))
+        q = pdf.sort_values("vec_id", ignore_index=True)
+        frames = []
+        for lo in range(0, len(q), chunk_rows):
+            sub = q.iloc[lo : lo + chunk_rows]
+            q_ids = sub["vec_id"].to_numpy(dtype=np.int64)
+            qm, _ = _normalize(np.stack(sub["embedding"].to_numpy()).astype(np.float64))
+            sims = qm @ c_mat.T  # (chunk, |cell|) — chunked, never |cell|^2
+            # zero-norm rows stay zero vectors: cosine 0 < threshold, so no
+            # sentinel logic is needed (threshold > 0 is enforced above)
+            rows, cols = np.nonzero(sims >= threshold)
+            if len(rows) == 0:
+                continue
+            qa = q_ids[rows]
+            cb = c_ids[cols]
+            keep = qa != cb  # self-pairs out
+            qa, cb, s = qa[keep], cb[keep], sims[rows, cols][keep]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(qa, cb),
+                        "id_b": np.maximum(qa, cb),
+                        "raw_cos": s,
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = assigned.groupBy("cell").applyInPandas(per_cell, raw_schema)
+    # a pair is found once per shared cell (<= n_probe times, and twice in
+    # ONE cell when both sides probe it: (a as query, b as cand) + (b as
+    # query, a as cand)); max() over bitwise-identical raw GEMM values is a
+    # deterministic dedup
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.round(F.max("raw_cos"), 2).alias("cos_sim")
     )

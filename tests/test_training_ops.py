@@ -329,3 +329,61 @@ def test_ivf_deterministic_across_partitioning(spark):
         .sort_values(["vec_id", "rk"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_near_dup_full_probe_exact(spark):
+    """Full probe => the exact cosine threshold join: every (a,b) pair with
+    cos >= t, verified against a numpy all-pairs oracle (duplicates at cos
+    1.0 included; the zero-norm row matches nothing by convention)."""
+    from daily_journal_dataflow_qc_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs = np.vstack([base, base[:8] + rng.standard_normal((8, 8)).astype(np.float32) * 0.01])
+    vecs[55] = 0.0
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    t = 0.95
+    got = embedding_near_dup(df, threshold=t, n_cells=5, n_probe=5, seed=13).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+
+    m = vecs.astype(np.float64)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nz = nrm[:, 0] > 0
+    m[nz] = m[nz] / nrm[nz]
+    sims = m @ m.T
+    want = {
+        (a, b)
+        for a in range(len(vecs))
+        for b in range(a + 1, len(vecs))
+        if nz[a] and nz[b] and sims[a, b] >= t
+    }
+    assert got_pairs == want
+    assert len(want) >= 7  # the perturbed replicas (minus the zeroed row 55)
+    for _, r in got.iterrows():
+        a, b = int(r.id_a), int(r.id_b)
+        assert abs(r.cos_sim - round(sims[a, b], 2)) <= 0.01
+
+
+def test_embedding_near_dup_partial_probe_recall(spark):
+    """n_probe=2: near-dup replicas sit at cos ~1 (same cell by
+    construction) — recall of the true pair set must stay >= 0.9."""
+    from daily_journal_dataflow_qc_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((100, 16)).astype(np.float32)
+    reps = base[:30] + rng.standard_normal((30, 16)).astype(np.float32) * 0.01
+    vecs = np.vstack([base, reps])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    got = embedding_near_dup(df, threshold=0.98, n_cells=6, n_probe=2, seed=3).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    true_pairs = {(i, 100 + i) for i in range(30)}
+    hit = sum(1 for p in true_pairs if p in got_pairs)
+    assert hit / len(true_pairs) >= 0.9, f"near-dup recall {hit}/30"
+    with pytest.raises(ValueError, match="threshold"):
+        embedding_near_dup(df, threshold=0.0)
