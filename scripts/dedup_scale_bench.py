@@ -195,6 +195,21 @@ def main() -> None:
         ivf_recall1 = round(ivf_hits / n_q10, 4) if n_q10 else None
         ivf.unpersist()
         bf.unpersist()
+
+        # embedding-cosine near-dup leg: the vector-space dedup mode. At
+        # threshold 0.99 the true pair set is exactly the within-replica-
+        # group mass (perturbed replicas sit at cos ~0.9999, distinct bases
+        # ~0), so the reported pair count doubles as a correctness probe:
+        # expect ~ n_base * C(replicas, 2)
+        from daily_journal_dataflow_qc_spark.operators.similarity import (
+            embedding_near_dup,
+        )
+
+        t0 = time.time()
+        n_ndp = embedding_near_dup(
+            emb, threshold=0.99, n_probe=2, seed=42, n_rows_hint=n_vecs
+        ).count()
+        walls["embedding_near_dup"] = round(time.time() - t0, 2)
         import math as _m
 
         n_planes = max(4, int(_m.ceil(_m.log2(max(n_vecs, 2)))))
@@ -248,6 +263,7 @@ def main() -> None:
                     "ann_recall_at1_vs_exact": recall1,
                     "ivf_rows": n_ivf,
                     "ivf_recall_at1_vs_exact": ivf_recall1,
+                    "embedding_near_dup_pairs": n_ndp,
                     "ann_n_planes": n_planes,
                     "lsh_buckets": {k: float(v) for k, v in lsh_stats.items()},
                     "ann_buckets": {k: float(v) for k, v in ann_buckets.items()},
