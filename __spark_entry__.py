@@ -470,11 +470,30 @@ def q_lsh_candidates(spark, sf):
 
 
 def q_near_dup_pairs(spark, sf):
-    # training-data op: full MinHash+LSH near-dup pipeline w/ Jaccard verify
+    # training-data op: BOTH near-dup modes under one driver row (cap: 50) —
+    #   text      — full MinHash+LSH pipeline w/ exact Jaccard verify
+    #   embedding — embedding-cosine near-dup at FULL probe (n_probe =
+    #               n_cells), which is provably the exact cosine threshold
+    #               join, so the DuckDB all-pairs mirror hash-validates the
+    #               IVF candidate generation + in-cell verify end to end.
+    #               threshold 0.4 is corpus-calibrated: the synthetic
+    #               embeddings are near-orthogonal (max off-diagonal cos
+    #               ~0.51 at sf0.01), so a "near-dup" bar of 0.9 would make
+    #               the leg vacuously empty
     from daily_journal_dataflow_qc_spark.operators.dedup import near_dup_pairs
+    from daily_journal_dataflow_qc_spark.operators.similarity import (
+        embedding_near_dup,
+    )
 
     d = _t(spark, sf, "documents")
-    return near_dup_pairs(d, threshold=0.2, n_hashes=4, bands=4, shingle_k=3)
+    text = near_dup_pairs(d, threshold=0.2, n_hashes=4, bands=4, shingle_k=3).select(
+        F.lit("text").alias("mode"), "id_a", "id_b", F.col("jaccard").alias("score")
+    )
+    e = _t(spark, sf, "embeddings")
+    emb = embedding_near_dup(e, threshold=0.4, n_cells=8, n_probe=8, seed=42).select(
+        F.lit("embedding").alias("mode"), "id_a", "id_b", F.col("cos_sim").alias("score")
+    )
+    return text.unionAll(emb)
 
 
 def q_simhash_docs(spark, sf):
@@ -1306,12 +1325,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
                  AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
             )
-            SELECT id_a, id_b, jaccard FROM (
+            SELECT 'text' AS mode, id_a, id_b, jaccard AS score FROM (
                 SELECT id_a, id_b,
                        round(len(list_intersect(sa, sb)) /
                              len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
                 FROM cand
             ) WHERE jaccard >= 0.2
+            UNION ALL
+            SELECT 'embedding' AS mode, a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 2) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "simhash_docs": f"""
             WITH h AS (
