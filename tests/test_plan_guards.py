@@ -233,3 +233,36 @@ def test_issues_set_runtime_plan_shape(spark, synth_dir, cfg):
     out.issues.collect()
     plan2 = out.issues._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan2, plan2[:2000]
+
+
+def test_similarity_ivf_plan_shape(spark):
+    """Scale pins for the IVF family: exactly the two necessary shuffles
+    (cell-keyed search + cross-probe/pair reduce), both Python stages
+    Arrow-batched (mapInPandas assign + grouped applyInPandas search), and
+    never a cartesian/nested-loop join or a row-at-a-time Python UDF."""
+    import numpy as np
+    import pandas as pd
+
+    from daily_journal_dataflow_qc_spark.operators.similarity import (
+        embedding_near_dup,
+        ivf_knn,
+    )
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    )
+    for out in (
+        ivf_knn(df, n_cells=6, n_probe=2, k=1),
+        embedding_near_dup(df, threshold=0.5, n_cells=6, n_probe=2),
+    ):
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        # the adaptive plan string repeats the tree under "== Initial Plan
+        # ==" — count shuffles in the final section only
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") <= 2, plan
