@@ -161,24 +161,40 @@ def test_pending_flags_topology_plan_shape(spark, stream_input, cfg):
         start_pending_flags_query,
     )
 
-    out_root = "/tmp/djdq_plan_guard_pending"
-    shutil.rmtree(out_root, ignore_errors=True)
-    q, _ = start_pending_flags_query(
-        spark, f"{stream_input}/tool_calls", out_root, cfg, trigger_seconds=0.5
-    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
     plan = None
-    deadline = time.time() + 300
-    try:
-        while time.time() < deadline:
-            if q.lastProgress is not None:
-                plan = q._jsq.explainInternal(False)
-                if "StreamingSymmetricHashJoin" in plan:
-                    break
-            time.sleep(0.2)
-    finally:
-        q.stop()
-        q.awaitTermination(120)
-    assert plan is not None, "no micro-batch plan observed"
+    last_err = None
+    # one retry with a fresh checkpoint: the shared sandbox host occasionally
+    # kills a trigger mid-commit (transient StreamingQueryException) — the
+    # guard's job is the PLAN SHAPE, which a clean restart re-exhibits; a
+    # persistent failure still fails the test with the real cause attached
+    for attempt in range(2):
+        out_root = f"/tmp/djdq_plan_guard_pending_{attempt}"
+        shutil.rmtree(out_root, ignore_errors=True)
+        q, _ = start_pending_flags_query(
+            spark, f"{stream_input}/tool_calls", out_root, cfg, trigger_seconds=0.5
+        )
+        deadline = time.time() + 300
+        try:
+            while time.time() < deadline:
+                if q.lastProgress is not None:
+                    plan = q._jsq.explainInternal(False)
+                    if "StreamingSymmetricHashJoin" in plan:
+                        break
+                time.sleep(0.2)
+        except StreamingQueryException as e:
+            last_err = e
+            plan = None
+        finally:
+            try:
+                q.stop()
+                q.awaitTermination(120)
+            except StreamingQueryException as e:
+                last_err = e
+        if plan is not None and "StreamingSymmetricHashJoin" in plan:
+            break
+    assert plan is not None, f"no micro-batch plan observed (last error: {last_err})"
     assert "StreamingSymmetricHashJoin" in plan, plan
     assert "StreamingDeduplicateWithinWatermark" in plan, plan
     assert "SortMergeJoin" not in plan, plan
