@@ -470,7 +470,8 @@ def q_lsh_candidates(spark, sf):
 
 
 def q_near_dup_pairs(spark, sf):
-    # training-data op: BOTH near-dup modes under one driver row (cap: 50) —
+    # training-data op: the WHOLE near-dup family under one driver row
+    # (cap: 50) —
     #   text      — full MinHash+LSH pipeline w/ exact Jaccard verify
     #   embedding — embedding-cosine near-dup at FULL probe (n_probe =
     #               n_cells), which is provably the exact cosine threshold
@@ -480,20 +481,38 @@ def q_near_dup_pairs(spark, sf):
     #               embeddings are near-orthogonal (max off-diagonal cos
     #               ~0.51 at sf0.01), so a "near-dup" bar of 0.9 would make
     #               the leg vacuously empty
-    from daily_journal_dataflow_qc_spark.operators.dedup import near_dup_pairs
+    #   cluster   — duplicate-CLUSTER resolution over the text pairs:
+    #               alternating large-star/small-star connected components
+    #               (node -> component-min rep, score = cluster size); the
+    #               DuckDB mirror recomputes the transitive closure with a
+    #               recursive CTE, so the iterative DataFrame algorithm is
+    #               hash-validated end to end
+    from daily_journal_dataflow_qc_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs,
+    )
     from daily_journal_dataflow_qc_spark.operators.similarity import (
         embedding_near_dup,
     )
 
     d = _t(spark, sf, "documents")
-    text = near_dup_pairs(d, threshold=0.2, n_hashes=4, bands=4, shingle_k=3).select(
+    tp = near_dup_pairs(d, threshold=0.2, n_hashes=4, bands=4, shingle_k=3)
+    text = tp.select(
         F.lit("text").alias("mode"), "id_a", "id_b", F.col("jaccard").alias("score")
     )
     e = _t(spark, sf, "embeddings")
     emb = embedding_near_dup(e, threshold=0.4, n_cells=8, n_probe=8, seed=42).select(
         F.lit("embedding").alias("mode"), "id_a", "id_b", F.col("cos_sim").alias("score")
     )
-    return text.unionAll(emb)
+    cc = connected_components(tp.select("id_a", "id_b"))
+    sizes = cc.groupBy("cluster_rep").agg(F.count("*").alias("n"))
+    clus = cc.join(sizes, "cluster_rep").select(
+        F.lit("cluster").alias("mode"),
+        F.col("node_id").alias("id_a"),
+        F.col("cluster_rep").alias("id_b"),
+        F.col("n").cast("double").alias("score"),
+    )
+    return text.unionAll(emb).unionAll(clus)
 
 
 def q_simhash_docs(spark, sf):
@@ -1317,25 +1336,46 @@ def oracle_sql() -> dict[str, str]:
              AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
         """,
         "near_dup_pairs": f"""
-            WITH sh AS (SELECT doc_id, {shingles} AS s FROM documents),
+            WITH RECURSIVE sh AS (SELECT doc_id, {shingles} AS s FROM documents),
             sig AS (SELECT doc_id, s, {sh_mh} FROM sh),
             cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                        a.s AS sa, b.s AS sb
                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
                  AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
-            )
-            SELECT 'text' AS mode, id_a, id_b, jaccard AS score FROM (
-                SELECT id_a, id_b,
-                       round(len(list_intersect(sa, sb)) /
-                             len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
-                FROM cand
-            ) WHERE jaccard >= 0.2
+            ),
+            tpairs AS (
+                SELECT id_a, id_b, jaccard FROM (
+                    SELECT id_a, id_b,
+                           round(len(list_intersect(sa, sb)) /
+                                 len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+                    FROM cand
+                ) WHERE jaccard >= 0.2
+            ),
+            -- transitive-closure mirror of connected_components: min
+            -- reachable id = the component-min representative
+            edges AS (
+                SELECT id_a AS eu, id_b AS ev FROM tpairs
+                UNION
+                SELECT id_b, id_a FROM tpairs
+            ),
+            reach(u, r) AS (
+                SELECT eu, eu FROM edges
+                UNION
+                SELECT e.eu, reach.r FROM edges e JOIN reach ON e.ev = reach.u
+            ),
+            comp AS (SELECT u AS node_id, MIN(r) AS rep FROM reach GROUP BY u),
+            csize AS (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep)
+            SELECT 'text' AS mode, id_a, id_b, jaccard AS score FROM tpairs
             UNION ALL
             SELECT 'embedding' AS mode, a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 2) AS score
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            UNION ALL
+            SELECT 'cluster' AS mode, comp.node_id AS id_a, comp.rep AS id_b,
+                   CAST(csize.n AS DOUBLE) AS score
+            FROM comp JOIN csize ON comp.rep = csize.rep
         """,
         "simhash_docs": f"""
             WITH h AS (

@@ -13,11 +13,18 @@ portable md5-prefix hash so every operator is oracle-checkable in DuckDB.
 * ``ngram_jaccard``        — exact Jaccard between explicit pairs.
 * ``simhash``              — b-bit simhash per doc; ``simhash_near_dups``
                              pairs within a Hamming radius.
+* ``connected_components`` — duplicate-CLUSTER resolution: collapse the
+                             near-dup pair graph into components (node ->
+                             component-min representative) via the
+                             alternating large-star/small-star algorithm.
+* ``dedup_survivors``      — keep one doc per duplicate cluster (the
+                             representative) plus every unpaired doc.
 
 Scale notes: signatures/simhash are single-pass projections (no shuffle);
 the bucket join shuffles only (band_idx, band_hash) keys, so the pair space
 is the bucket-collision mass, not O(N^2). Verification joins shingle arrays
-only for candidate pairs.
+only for candidate pairs. Cluster resolution is O(log n) alternating rounds
+of O(E)-volume shuffles with lineage truncated per round.
 """
 
 from __future__ import annotations
@@ -129,6 +136,115 @@ def ngram_jaccard(
     sb = word_shingles(F.lower(F.col(text_b)), k)
     jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
     return pairs.withColumn("jaccard", F.round(jac, 4))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Collapse a near-dup pair graph into duplicate clusters: returns
+    ``(node_id, cluster_rep)`` for every node appearing in ``pairs``, where
+    ``cluster_rep`` is the component-wide MINIMUM id (deterministic under any
+    partitioning).
+
+    This is the end-stage every dedup pipeline needs after pair generation
+    (minhash-LSH / simhash / embedding near-dup all emit PAIRS; keep-one-per-
+    cluster needs the transitive closure): the alternating large-star /
+    small-star connected-components algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public knowledge; no
+    reference-repo counterpart), expressed as pure DataFrame rounds:
+
+    * large-star: every node links its LARGER neighbors to the minimum of
+      its neighborhood (including itself).
+    * small-star: every node links its smaller-or-equal neighbors (and
+      itself) to that minimum.
+
+    Both emit canonically oriented (child > parent) edges, so each round is
+    a groupBy(min) + same-key join + distinct — O(E) shuffle volume keyed by
+    node id, no driver-side graph state. Converges to star graphs rooted at
+    the component min in O(log n) rounds (pinned by a chain-graph round-count
+    test); a path graph under naive min-propagation would need O(n).
+
+    100-TB shape: per-round cost is bounded by the CURRENT edge set, which
+    only shrinks (stars replace paths); ``localCheckpoint`` truncates lineage
+    each round — without it the plan doubles per iteration and the final
+    round replays every prior one. On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    executor-loss resilience; localCheckpoint is the single-node stand-in.
+    Raises ``RuntimeError`` if not converged within ``max_iterations`` —
+    never returns a partially-merged clustering silently.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.rdd.isEmpty():
+        return edges.select(F.col("u").alias("node_id"), F.col("v").alias("cluster_rep"))
+
+    for _ in range(max_iterations):
+        # large-star: group the SYMMETRIZED neighborhood by u; m = min(Γ(u) ∪
+        # {u}); emit (v, m) for v > u. child v > u >= m keeps edges canonical.
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on canonical edges: Γ(u) is exactly the smaller
+        # neighbors; emit (v, m) for v ∈ Γ(u) ∪ {u} \ {m} with m = min Γ(u)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).rdd.isEmpty()
+        )
+        edges = new_edges
+        if converged:
+            # fixpoint = disjoint stars: (child, component-min) edges
+            return edges.select(
+                F.col("u").alias("node_id"), F.col("v").alias("cluster_rep")
+            ).union(
+                edges.select(
+                    F.col("v").alias("node_id"), F.col("v").alias("cluster_rep")
+                ).distinct()
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "the alternating algorithm needs O(log n) — inspect the pair graph "
+        "for pathological inputs or raise max_iterations"
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly one doc per duplicate cluster — the cluster representative
+    (component-min id from ``connected_components``) — plus every doc that
+    never appeared in a pair. An anti-join against the non-representative
+    members: output-bound, no full-table shuffle of ``df`` itself."""
+    drop = components.filter(F.col("node_id") != F.col("cluster_rep")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 def simhash(text_lc: Column, bits: int = 16) -> Column:

@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from daily_journal_dataflow_qc_spark.operators.dedup import (
+    connected_components,
+    dedup_survivors,
     exact_dedup,
     near_dup_pairs,
     ngram_jaccard,
@@ -387,3 +389,63 @@ def test_embedding_near_dup_partial_probe_recall(spark):
     assert hit / len(true_pairs) >= 0.9, f"near-dup recall {hit}/30"
     with pytest.raises(ValueError, match="threshold"):
         embedding_near_dup(df, threshold=0.0)
+
+
+def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent union-find oracle: node -> component-min representative."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 30, 20), (1, 60, 90), (2, 40, 39)])
+def test_connected_components_vs_union_find(spark, seed, n_nodes, n_edges):
+    """Random pair graphs (sparse / dense / tree-ish) against a union-find
+    oracle: every node maps to its component-min representative."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    pairs = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = connected_components(df).toPandas()
+    want = _uf_components(pairs)
+    assert dict(zip(got.node_id, got.cluster_rep)) == want
+    assert len(got) == len(want), "one row per node, reps included"
+
+
+def test_connected_components_chain_converges_fast(spark):
+    """A 64-node path graph is the adversarial case for naive min-label
+    propagation (O(n) rounds); the alternating algorithm must resolve it
+    well inside its O(log^2 n) bound — pinned at max_iterations=15."""
+    pairs = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = connected_components(df, max_iterations=15).toPandas()
+    assert set(got.node_id) == set(range(64))
+    assert (got.cluster_rep == 0).all()
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame(pd.DataFrame({"id_a": [7], "id_b": [7]}))
+    assert connected_components(df).count() == 0  # self-pairs are not edges
+
+
+def test_dedup_survivors(spark):
+    """Two clusters {0,1,3} (BASE/NEAR/BASE-dup) via near-dup pairs at a low
+    threshold; survivors = cluster reps + the unpaired doc."""
+    docs = _docs(spark)
+    pairs = near_dup_pairs(docs, threshold=0.5, n_hashes=8, bands=4, shingle_k=3)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    kept = sorted(dedup_survivors(docs, comps).toPandas().doc_id)
+    assert kept == [0, 2], "rep of {0,1,3} plus the unpaired doc 2"
