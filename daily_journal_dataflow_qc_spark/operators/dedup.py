@@ -185,7 +185,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if edges.rdd.isEmpty():
+    if edges.isEmpty():
         return edges.select(F.col("u").alias("node_id"), F.col("v").alias("cluster_rep"))
 
     for _ in range(max_iterations):
@@ -213,7 +213,7 @@ def connected_components(
         )
         converged = (
             new_edges.count() == edges.count()
-            and new_edges.exceptAll(edges).rdd.isEmpty()
+            and new_edges.exceptAll(edges).isEmpty()
         )
         edges = new_edges
         if converged:

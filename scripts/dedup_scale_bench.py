@@ -38,6 +38,7 @@ def main() -> None:
     import pyspark.sql.functions as F
 
     from daily_journal_dataflow_qc_spark.operators.dedup import (
+        connected_components,
         exact_dedup,
         lsh_candidate_pairs,
         minhash_signatures,
@@ -117,8 +118,33 @@ def main() -> None:
         n_cand = cand.count()
         walls["lsh_candidate_pairs"] = round(time.time() - t0, 2)
         t0 = time.time()
-        n_near = near_dup_pairs(docs, threshold=0.7, n_hashes=8, bands=4).count()
+        ndp = near_dup_pairs(docs, threshold=0.7, n_hashes=8, bands=4).persist()
+        n_near = ndp.count()
         walls["near_dup_pairs"] = round(time.time() - t0, 2)
+
+        # duplicate-cluster resolution over the verified pair graph: the
+        # replica corpus makes every base doc's replica group a CLIQUE, so
+        # the edge set is the quadratic collision mass while the component
+        # count stays n_base — the exact shape where pair->cluster collapse
+        # pays (cliques resolve in ~2 alternating rounds; walls measure the
+        # O(E)-per-round shuffles, not an O(N^2) blowup)
+        t0 = time.time()
+        comps = connected_components(ndp.select("id_a", "id_b")).persist()
+        cc_stats = (
+            comps.groupBy("cluster_rep")
+            .count()
+            .agg(
+                F.count("*").alias("n_clusters"),
+                F.max("count").alias("max_cluster"),
+                F.round(F.avg("count"), 2).alias("mean_cluster"),
+            )
+            .head()
+            .asDict()
+        )
+        n_cc_nodes = comps.count()
+        walls["connected_components"] = round(time.time() - t0, 2)
+        comps.unpersist()
+        ndp.unpersist()
         timed("simhash", docs.select("doc_id", simhash(F.lower(F.col("text")), 16).alias("s")))
 
         # bucket-size distribution of the banded LSH join (the quantity the
@@ -258,6 +284,8 @@ def main() -> None:
                     "walls": walls,
                     "candidate_pairs": n_cand,
                     "near_dup_pairs": n_near,
+                    "cc_nodes": n_cc_nodes,
+                    "cc_clusters": {k: float(v) for k, v in cc_stats.items()},
                     "ann_rows": n_ann,
                     "brute_force_rows": n_bf,
                     "ann_recall_at1_vs_exact": recall1,
