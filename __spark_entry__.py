@@ -382,7 +382,17 @@ def q_dedup_exact_docs(spark, sf):
 
 
 def q_minhash_signature(spark, sf):
-    # training-data op: 4-permutation word-level minhash signature per doc
+    # training-data doc-grain ASSIGNMENTS row (cap: 50 — same-grain merge):
+    # 4-permutation word-level minhash signature per doc, plus the
+    # deterministic sampling family (operators/sampling.py): portable-hash
+    # train/val/test split (90/5/5), 10% Bernoulli-by-hash membership flag,
+    # and the within-source stratified-draw rank — all reproduced bit-exactly
+    # by the DuckDB mirror, so partition-independence is hash-checked
+    from daily_journal_dataflow_qc_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
     d = _t(spark, sf, "documents")
     wds = F.split(F.lower(F.col("text")), " ", -1)
 
@@ -395,7 +405,20 @@ def q_minhash_signature(spark, sf):
         F.array_min(F.transform(wds, seed_hash(f"s{i}:"))).alias(f"mh{i}")
         for i in range(4)
     ]
-    return d.select("doc_id", *cols)
+    sampled = stratified_sample(
+        hash_split(d, "doc_id"), "source", 0, "doc_id", rank_col="stratum_rank"
+    )
+    in_sample = (
+        F.pmod(_hex_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), F.lit(1_000_000))
+        < 100_000
+    )
+    return sampled.select(
+        "doc_id",
+        *cols,
+        "split",
+        in_sample.alias("in_sample_10pct"),
+        F.col("stratum_rank").cast("int").alias("stratum_rank"),
+    )
 
 
 def q_embedding_nn(spark, sf):
@@ -2058,7 +2081,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT md5(text)) AS n_dupes
             FROM documents GROUP BY source
         """,
-        "minhash_signature": f"SELECT doc_id, {mh} FROM documents",
+        "minhash_signature": f"""
+            WITH b AS (
+                SELECT doc_id, source, {mh},
+                       CAST(('0x' || substring(md5('split:'  || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS pb,
+                       CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS sb,
+                       CAST(('0x' || substring(md5('strat:'  || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS tb
+                FROM documents
+            )
+            SELECT doc_id, mh0, mh1, mh2, mh3,
+                   CASE WHEN pb < 900000 THEN 'train'
+                        WHEN pb < 950000 THEN 'val' ELSE 'test' END AS split,
+                   sb < 100000 AS in_sample_10pct,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY tb, doc_id) AS INT) AS stratum_rank
+            FROM b
+        """,
         "embedding_nn": """
             WITH nn AS (
                 SELECT vec_id, nn_id, round(cos, 2) AS cos_sim FROM (

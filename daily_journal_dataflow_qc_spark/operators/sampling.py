@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Large-scale dataset assembly needs REPRODUCIBLE, PARTITION-INDEPENDENT
+sampling — ``df.sample`` is seeded per partition, so the selected rows
+change whenever the input is repartitioned, compacted, or re-read at a
+different parallelism. Everything here keys off the portable md5-prefix
+hash (``functions.hashing``) of a stable id column instead, so
+
+* the same row lands in the same split/sample on every run, any engine
+  (the DuckDB oracle mirrors the exact hash arithmetic),
+* splitting by a GROUP key (conv_id, source domain, url host) keeps whole
+  groups on one side — the train/test leakage guard a row-wise random
+  split cannot give,
+* no shuffle for ``hash_split``/``hash_sample`` (pure projections: the
+  filter rides the scan); ``stratified_sample`` is one window over the
+  stratum key.
+
+100-TB shape: hash_split/hash_sample are embarrassingly parallel map work
+(whole-stage codegen, no Python); stratified_sample shuffles once on the
+stratum column — at billions of rows per stratum, cap n_per_stratum or
+pre-filter with hash_sample so the per-stratum sort stays bounded (the
+rank is a WindowGroupLimit, so only the top-n survive the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_hash
+
+# hash buckets per unit of weight resolution: 1e6 gives ppm-exact split
+# fractions with integer arithmetic (no float-boundary drift across engines)
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: str) -> Column:
+    """Deterministic bucket in [0, _BUCKETS) from the portable hash."""
+    return F.pmod(seeded_hash(key.cast("string"), seed), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by the
+    portable hash of ``key_col`` — reproducible under any partitioning, and
+    leakage-safe when ``key_col`` is a group key (every row of a group gets
+    the same assignment). Weights are normalized; boundaries are exact to
+    one part per million."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("hash_split: weights must be non-negative and sum > 0")
+    total = sum(weights.values())
+    b = _bucket(F.col(key_col), f"{seed}:")
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = int(round(acc * _BUCKETS))
+        expr = F.when(b < cut, name) if expr is None else expr.when(b < cut, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose key bucket
+    falls below ``rate`` — the reproducible replacement for ``df.sample``
+    (which re-draws per partition layout). The filter is a pure projection
+    predicate, so it pushes into the scan."""
+    if not 0 <= rate <= 1:
+        raise ValueError(f"hash_sample: rate {rate} outside [0, 1]")
+    cut = int(round(rate * _BUCKETS))
+    return df.filter(_bucket(F.col(key_col), f"{seed}:") < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    seed: str = "strat",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by hash order — a deterministic uniform draw that every
+    engine reproduces, unlike ``sampleBy`` (approximate AND layout-seeded).
+    Tie-break on ``key_col`` makes duplicate hashes (duplicate keys) stable.
+    With ``rank_col`` set, returns ALL rows annotated with the within-stratum
+    hash rank instead of filtering (callers can cut at any n downstream)."""
+    if n_per_stratum < 1 and rank_col is None:
+        raise ValueError("stratified_sample: n_per_stratum must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(key_col), f"{seed}:"), F.col(key_col)
+    )
+    rc = rank_col or "_strat_rank"
+    out = df.withColumn(rc, F.row_number().over(w))
+    if rank_col is not None:
+        return out
+    return out.filter(F.col(rc) <= n_per_stratum).drop(rc)
