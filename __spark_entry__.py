@@ -386,8 +386,14 @@ def q_minhash_signature(spark, sf):
     # 4-permutation word-level minhash signature per doc, plus the
     # deterministic sampling family (operators/sampling.py): portable-hash
     # train/val/test split (90/5/5), 10% Bernoulli-by-hash membership flag,
-    # and the within-source stratified-draw rank — all reproduced bit-exactly
-    # by the DuckDB mirror, so partition-independence is hash-checked
+    # the within-source stratified-draw rank, the greedy sequence-packing
+    # assignment (operators/packing.py: shard/bin/pos at a 256-token budget)
+    # and the n-gram test-set decontamination flag (operators/dedup.py:
+    # train∪val docs sharing any 3-shingle with the hash-split test corpus)
+    # — all reproduced bit-exactly by the DuckDB mirror, so partition-
+    # independence is hash-checked
+    from daily_journal_dataflow_qc_spark.operators.dedup import contaminated_ids
+    from daily_journal_dataflow_qc_spark.operators.packing import pack_sequences
     from daily_journal_dataflow_qc_spark.operators.sampling import (
         hash_split,
         stratified_sample,
@@ -405,19 +411,34 @@ def q_minhash_signature(spark, sf):
         F.array_min(F.transform(wds, seed_hash(f"s{i}:"))).alias(f"mh{i}")
         for i in range(4)
     ]
+    split_docs = hash_split(d, "doc_id")
     sampled = stratified_sample(
-        hash_split(d, "doc_id"), "source", 0, "doc_id", rank_col="stratum_rank"
+        split_docs, "source", 0, "doc_id", rank_col="stratum_rank"
     )
     in_sample = (
         F.pmod(_hex_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), F.lit(1_000_000))
         < 100_000
     )
-    return sampled.select(
-        "doc_id",
-        *cols,
-        "split",
-        in_sample.alias("in_sample_10pct"),
-        F.col("stratum_rank").cast("int").alias("stratum_rank"),
+    packed = pack_sequences(
+        sampled.withColumn("n_tokens", F.size(wds)), 256, n_shards=8
+    )
+    flagged = contaminated_ids(
+        split_docs.filter(F.col("split") != "test"),
+        split_docs.filter(F.col("split") == "test"),
+    ).withColumn("_contam", F.lit(True))
+    return (
+        packed.join(F.broadcast(flagged), "doc_id", "left")
+        .select(
+            "doc_id",
+            *cols,
+            "split",
+            in_sample.alias("in_sample_10pct"),
+            F.col("stratum_rank").cast("int").alias("stratum_rank"),
+            "pack_shard",
+            "pack_bin",
+            "pack_pos",
+            F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
+        )
     )
 
 
@@ -2083,18 +2104,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": f"""
             WITH b AS (
-                SELECT doc_id, source, {mh},
+                SELECT doc_id, source, text, {mh},
+                       len(string_split(lower(text), ' ')) AS n_tokens,
                        CAST(('0x' || substring(md5('split:'  || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS pb,
                        CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS sb,
-                       CAST(('0x' || substring(md5('strat:'  || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS tb
+                       CAST(('0x' || substring(md5('strat:'  || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS tb,
+                       CAST(('0x' || substring(md5('pack:'   || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ph
                 FROM documents
+            ), b2 AS (
+                SELECT *,
+                       CASE WHEN pb < 900000 THEN 'train'
+                            WHEN pb < 950000 THEN 'val' ELSE 'test' END AS split,
+                       CAST(ph % 8 AS INT) AS pack_shard
+                FROM b
+            ), c AS (
+                SELECT *, COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY pack_shard ORDER BY ph, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM b2
+            ), sh AS (
+                SELECT doc_id, split, {shingles} AS s FROM b2
+            ), tg AS (
+                SELECT DISTINCT unnest(s) AS g FROM sh WHERE split = 'test'
+            ), fl AS (
+                SELECT DISTINCT tr.doc_id
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE split <> 'test') tr
+                JOIN tg USING (g)
             )
-            SELECT doc_id, mh0, mh1, mh2, mh3,
-                   CASE WHEN pb < 900000 THEN 'train'
-                        WHEN pb < 950000 THEN 'val' ELSE 'test' END AS split,
+            SELECT doc_id, mh0, mh1, mh2, mh3, split,
                    sb < 100000 AS in_sample_10pct,
-                   CAST(row_number() OVER (PARTITION BY source ORDER BY tb, doc_id) AS INT) AS stratum_rank
-            FROM b
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY tb, doc_id) AS INT) AS stratum_rank,
+                   pack_shard,
+                   CAST(FLOOR(cum / 256) AS INT) AS pack_bin,
+                   CAST(row_number() OVER (
+                       PARTITION BY pack_shard, CAST(FLOOR(cum / 256) AS INT)
+                       ORDER BY ph, doc_id) AS INT) AS pack_pos,
+                   doc_id IN (SELECT doc_id FROM fl) AS contaminated
+            FROM c
         """,
         "embedding_nn": """
             WITH nn AS (

@@ -19,6 +19,9 @@ portable md5-prefix hash so every operator is oracle-checkable in DuckDB.
                              alternating large-star/small-star algorithm.
 * ``dedup_survivors``      — keep one doc per duplicate cluster (the
                              representative) plus every unpaired doc.
+* ``contaminated_ids`` / ``decontaminate`` — n-gram test-set decontamination
+                             (train docs sharing any k-shingle with the test
+                             corpus; broadcast semi-join on the test grams).
 
 Scale notes: signatures/simhash are single-pass projections (no shuffle);
 the bucket join shuffles only (band_idx, band_hash) keys, so the pair space
@@ -136,6 +139,49 @@ def ngram_jaccard(
     sb = word_shingles(F.lower(F.col(text_b)), k)
     jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
     return pairs.withColumn("jaccard", F.round(jac, 4))
+
+
+def contaminated_ids(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Ids of train docs sharing ANY k-word shingle with the test corpus —
+    the n-gram decontamination check every pretraining pipeline runs before
+    evaluation (published practice: overlap-based test-set decontamination;
+    public knowledge, no reference-repo counterpart). Conservative by
+    construction: one shared shingle flags the doc.
+
+    100-TB shape: the test side is the small side — its DISTINCT shingle set
+    is broadcast, so the train side is one scan + broadcast semi-join +
+    distinct on the flagged ids (no shuffle of train text). For a test set
+    too big to broadcast, drop the hint and let AQE pick the join."""
+    test_grams = (
+        test.select(F.explode(word_shingles(F.lower(F.col(text_col)), k)).alias("g"))
+        .distinct()
+    )
+    return (
+        train.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.lower(F.col(text_col)), k)).alias("g"),
+        )
+        .join(F.broadcast(test_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Remove every train doc flagged by ``contaminated_ids`` (anti-join)."""
+    return train.join(contaminated_ids(train, test, text_col, id_col, k), id_col, "left_anti")
 
 
 def connected_components(

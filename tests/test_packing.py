@@ -1,0 +1,136 @@
+"""Greedy sequence packing (operators/packing.py): documented bin semantics
+(floor of cumulative tokens before the doc), partition-independence, a
+pure-pandas mirror of the whole assignment, and DuckDB window-arithmetic
+parity (what the merged minhash_signature driver row depends on)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from daily_journal_dataflow_qc_spark.functions.hashing import py_hex_hash
+from daily_journal_dataflow_qc_spark.operators.packing import pack_sequences
+
+N = 3000
+MAX_TOK = 512
+
+
+def _docs(spark, n=N):
+    # token counts 1..200, deterministic per id
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(200)) + 1).alias("n_tokens"),
+    )
+
+
+def _pandas_mirror(pdf: pd.DataFrame, max_tokens: int, n_shards: int) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["_h"] = [py_hex_hash(str(i), "pack:") for i in pdf.doc_id]
+    pdf["pack_shard"] = pdf._h % n_shards
+    pdf = pdf.sort_values(["pack_shard", "_h", "doc_id"]).reset_index(drop=True)
+    cum = pdf.groupby("pack_shard")["n_tokens"].cumsum() - pdf["n_tokens"]
+    pdf["pack_bin"] = (cum // max_tokens).astype(int)
+    pdf["pack_pos"] = pdf.groupby(["pack_shard", "pack_bin"]).cumcount() + 1
+    return pdf.drop(columns="_h")
+
+
+def test_pack_matches_pandas_mirror(spark):
+    got = (
+        pack_sequences(_docs(spark), MAX_TOK, n_shards=16)
+        .orderBy("pack_shard", "pack_bin", "pack_pos")
+        .toPandas()
+    )
+    want = _pandas_mirror(
+        _docs(spark).toPandas(), MAX_TOK, 16
+    ).sort_values(["pack_shard", "pack_bin", "pack_pos"])
+    for c in ["doc_id", "pack_shard", "pack_bin", "pack_pos"]:
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_pack_bin_budget_and_overflow_bound(spark):
+    """A doc's bin is floor(tokens before it / max): the tokens BEFORE any
+    doc in its own bin are < max, so a bin overflows by at most its last
+    (straddling) doc — never by a full extra doc."""
+    got = pack_sequences(_docs(spark), MAX_TOK, n_shards=8).toPandas()
+    got = got.sort_values(["pack_shard", "pack_bin", "pack_pos"])
+    for (_, _), g in got.groupby(["pack_shard", "pack_bin"]):
+        before_last = g.n_tokens.iloc[:-1].sum()
+        assert before_last < MAX_TOK
+        # positions are contiguous from 1
+        assert g.pack_pos.tolist() == list(range(1, len(g) + 1))
+    # density: if bin b has a successor, the tokens packed through the end
+    # of b reach past (b+1)*max — no bin is left short while later bins exist
+    for shard, g in got.groupby("pack_shard"):
+        bins = g.groupby("pack_bin").n_tokens.sum().sort_index()
+        prefix = bins.cumsum()
+        for b, through_b in prefix.iloc[:-1].items():
+            nxt = bins.index[bins.index.get_loc(b) + 1]
+            assert through_b >= nxt * MAX_TOK
+
+
+def test_pack_partition_independent(spark):
+    d = _docs(spark)
+    a = pack_sequences(d.repartition(3), MAX_TOK, n_shards=8).orderBy("doc_id").toPandas()
+    b = pack_sequences(d.repartition(23), MAX_TOK, n_shards=8).orderBy("doc_id").toPandas()
+    assert a.equals(b), "packing must not depend on partition layout"
+
+
+def test_pack_long_doc_skips_bins(spark):
+    """A doc longer than the budget advances the bin counter past several
+    bins (it is not split); per shard, bins are non-decreasing in concat
+    order and the straddler's successor jumps >= floor(len/max) bins."""
+    pdf = pd.DataFrame({"doc_id": list(range(6)), "n_tokens": [100, 5000, 100, 100, 100, 100]})
+    got = (
+        pack_sequences(spark.createDataFrame(pdf), 512, n_shards=1)
+        .orderBy("pack_pos", "pack_bin")
+        .toPandas()
+        .sort_values(["pack_bin", "pack_pos"])
+    )
+    assert (got.pack_bin.diff().dropna() >= 0).all()
+    long_bin = int(got.loc[got.n_tokens == 5000, "pack_bin"].iloc[0])
+    after = got[got.pack_bin > long_bin]
+    if len(after):
+        assert int(after.pack_bin.min()) >= long_bin + 5000 // 512
+
+
+def test_pack_rejects_bad_args(spark):
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(_docs(spark), 0)
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(_docs(spark), 512, n_shards=0)
+
+
+def test_pack_matches_duckdb_window_arithmetic(spark):
+    got = (
+        pack_sequences(_docs(spark, 1000), 256, n_shards=4)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        WITH d AS (
+            SELECT range AS doc_id, (range * 37 + 11) % 200 + 1 AS n_tokens
+            FROM range(1000)
+        ), h AS (
+            SELECT *,
+                CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+            FROM d
+        ), s AS (
+            SELECT *, CAST(hh % 4 AS INT) AS pack_shard FROM h
+        ), c AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY pack_shard ORDER BY hh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM s
+        )
+        SELECT doc_id, n_tokens, pack_shard,
+               CAST(FLOOR(cum / 256) AS INT) AS pack_bin,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY pack_shard, CAST(FLOOR(cum / 256) AS INT)
+                   ORDER BY hh, doc_id) AS INT) AS pack_pos
+        FROM c ORDER BY doc_id
+        """
+    ).df()
+    for c in ["pack_shard", "pack_bin", "pack_pos"]:
+        assert got[c].tolist() == want[c].tolist(), c

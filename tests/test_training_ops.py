@@ -449,3 +449,69 @@ def test_dedup_survivors(spark):
     comps = connected_components(pairs.select("id_a", "id_b"))
     kept = sorted(dedup_survivors(docs, comps).toPandas().doc_id)
     assert kept == [0, 2], "rep of {0,1,3} plus the unpaired doc 2"
+
+
+# ---- test-set decontamination (operators/dedup.py) ----
+
+
+def test_decontamination_flags_shared_shingles(spark):
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    BASE,                     # shares every shingle with test doc 100
+                    FAR,                      # clean
+                    "totally unrelated words here today",  # clean
+                    "prefix words then " + NEAR,  # shares NEAR's shingles
+                ],
+            }
+        )
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101], "text": [BASE, NEAR]})
+    )
+    from daily_journal_dataflow_qc_spark.operators.dedup import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    flagged = sorted(contaminated_ids(train, test).toPandas().doc_id)
+    assert flagged == [0, 3]
+    clean = sorted(decontaminate(train, test).toPandas().doc_id)
+    assert clean == [1, 2]
+    # flagged and clean partition the train set
+    assert sorted(flagged + clean) == [0, 1, 2, 3]
+
+
+def test_decontamination_short_doc_whole_text_fallback(spark):
+    """Docs under k words shingle to their whole text: a short train doc is
+    flagged only by an identical short test doc, never by a long one that
+    merely contains its words."""
+    from daily_journal_dataflow_qc_spark.operators.dedup import contaminated_ids
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["hello there", "hello world"]})
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": ["hello there", "a long doc where hello world appears inside"],
+            }
+        )
+    )
+    flagged = sorted(contaminated_ids(train, test).toPandas().doc_id)
+    # doc 0: exact short-text match -> flagged. doc 1: its whole-text
+    # shingle "hello world" is not among the LONG test doc's 3-shingles.
+    assert flagged == [0]
+
+
+def test_decontamination_is_case_insensitive(spark):
+    from daily_journal_dataflow_qc_spark.operators.dedup import contaminated_ids
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [BASE.upper()]})
+    )
+    test = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [BASE]}))
+    assert contaminated_ids(train, test).count() == 1
