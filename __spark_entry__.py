@@ -472,9 +472,16 @@ def q_text_analysis(spark, sf):
     # training-data text-analysis tier in ONE doc-grain projection: quality
     # metrics (length/stopword ratios), whitespace + BPE-ish regex token
     # counting, content fingerprint (hash of normalized text), stopword-vote
-    # language ID, and the F13 encoding classification (is_ascii rlike —
-    # streaming/job.py turn_projection — over a constructed non-ASCII tail)
-    from daily_journal_dataflow_qc_spark.operators.textanalysis import lang_id
+    # language ID, the F13 encoding classification (is_ascii rlike —
+    # streaming/job.py turn_projection — over a constructed non-ASCII tail),
+    # and the Gopher-style repetition signals (top/dup n-gram shares; the
+    # top-gram mass is a sorted-run F.aggregate fold — no explode/shuffle)
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        dup_frac_of,
+        lang_id,
+        ngram_list,
+        top_frac_of,
+    )
 
     d = _t(spark, sf, "documents")
     lc = F.lower(F.col("text"))
@@ -485,6 +492,9 @@ def q_text_analysis(spark, sf):
         F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.concat(F.col("text"), F.lit(" café"))
     ).otherwise(F.col("text"))
     is_ascii = enc_t.rlike("^[\\x00-\\x7F]*$")
+    # gram arrays materialized in their own Project so each is built once
+    # per row (CollapseProject keeps non-cheap multi-referenced exprs apart)
+    d = d.withColumns({"_gl2": ngram_list(wds, 2), "_gl3": ngram_list(wds, 3)})
     return d.select(
         "doc_id",
         F.length(lc).cast("long").alias("n_chars"),
@@ -498,6 +508,9 @@ def q_text_analysis(spark, sf):
         lang_id(lc).alias("lang_pred"),
         is_ascii.alias("all_ascii"),
         F.when(is_ascii, "ASCII").otherwise("UTF-8").alias("txt_encoding_type"),
+        top_frac_of(F.col("_gl2")).alias("top_2gram_frac"),
+        dup_frac_of(F.col("_gl2")).alias("dup_2gram_frac"),
+        dup_frac_of(F.col("_gl3")).alias("dup_3gram_frac"),
     )
 
 
@@ -1353,6 +1366,17 @@ def oracle_sql() -> dict[str, str]:
         for i in range(4)
     )
     words = "string_split(lower(text), ' ')"
+
+    def grams_sql(k: int) -> str:
+        # contiguous k-grams WITH duplicates over the alias ``w`` (mirrors
+        # operators/textanalysis.ngram_list incl. the short-doc fallback)
+        return (
+            f"CASE WHEN len(w) >= {k} THEN "
+            f"list_transform(generate_series(1, len(w) - {k - 1}), "
+            f"i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')) "
+            f"ELSE [array_to_string(w, ' ')] END"
+        )
+
     shingles = (
         f"list_distinct(CASE WHEN len({words}) >= 3 THEN "
         f"list_transform(generate_series(1, len({words}) - 2), "
@@ -1438,10 +1462,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "text_analysis": f"""
-            WITH b AS (
+            WITH b0 AS (
                 SELECT doc_id, lower(text) AS lc, {words} AS w,
                        CASE WHEN doc_id % 7 = 0 THEN text || ' café' ELSE text END AS enc_t
                 FROM documents
+            ), b AS (
+                SELECT *, {grams_sql(2)} AS gl2, {grams_sql(3)} AS gl3 FROM b0
+            ), m2 AS (
+                SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+                FROM (SELECT doc_id, g, COUNT(*) AS c
+                      FROM (SELECT doc_id, unnest(gl2) AS g FROM b)
+                      GROUP BY doc_id, g)
+                GROUP BY doc_id
             ), sc AS (
                 SELECT doc_id,
                        len(list_filter(w, x -> x IN ({stop_en}))) AS en,
@@ -1464,8 +1496,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    octet_length(encode(enc_t)) = length(enc_t) AS all_ascii,
                    CASE WHEN octet_length(encode(enc_t)) = length(enc_t)
-                        THEN 'ASCII' ELSE 'UTF-8' END AS txt_encoding_type
-            FROM b JOIN sc ON b.doc_id = sc.doc_id
+                        THEN 'ASCII' ELSE 'UTF-8' END AS txt_encoding_type,
+                   round(m2.mx / m2.tot, 4) AS top_2gram_frac,
+                   round(1 - len(list_distinct(gl2)) / len(gl2), 4) AS dup_2gram_frac,
+                   round(1 - len(list_distinct(gl3)) / len(gl3), 4) AS dup_3gram_frac
+            FROM b JOIN sc ON b.doc_id = sc.doc_id JOIN m2 ON b.doc_id = m2.doc_id
         """,
         # lsh_bucketed_ann: planes are seeded-deterministic -> full relational
         # mirror with the planes embedded as SQL literals

@@ -97,7 +97,80 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) -> DataF
     )
 
 
+def ngram_list(words: Column, k: int) -> Column:
+    """Contiguous word k-grams WITH duplicates (repetition metrics need the
+    multiset; dedup's ``word_shingles`` distincts). Docs under k words fall
+    back to one whole-text gram, so the list is never empty."""
+    full = F.transform(
+        F.sequence(F.lit(1), F.size(words) - k + 1),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return F.when(F.size(words) >= k, full).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+
+
+def dup_frac_of(grams: Column) -> Column:
+    """Fraction of k-grams that are repeats of an earlier one — the
+    duplicate-n-gram share from the published Gopher-style repetition
+    filters (Rae et al. 2021; public heuristic). Pure projection."""
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 4)
+
+
+def top_frac_of(grams: Column) -> Column:
+    """Frequency mass of the single most common k-gram (top-n-gram share,
+    same published filter family). Computed as the longest run in the
+    SORTED gram array via one ``F.aggregate`` fold — O(n log n) per doc
+    entirely inside the JVM: no explode, no (doc, gram) shuffle, so the
+    100-TB cost stays one scan. NB exact lambda arities (see CLAUDE.md):
+    the merge lambda must take exactly (acc, x)."""
+    g = F.sort_array(grams)
+
+    def _merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    best = F.aggregate(g, zero, _merge, lambda acc: acc["best"])
+    return F.round(best / F.size(grams), 4)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per doc: ``top_2gram_frac``,
+    ``dup_2gram_frac``, ``dup_3gram_frac``. High values mark boilerplate /
+    degenerate repetition for training-data filtering.
+
+    The gram arrays are MATERIALIZED in their own projection (withColumns)
+    before the metrics reference them: HOF gram construction is non-cheap
+    and multiply-referenced, so Catalyst's CollapseProject keeps the two
+    Projects separate and each array is built once per row, not once per
+    metric (measured 1.5x at sf0.1: 4.65s -> 3.1s for all three columns)."""
+    words = F.split(F.lower(F.col(text_col)), " ", -1)
+    return (
+        df.withColumns(
+            {"_gl2": ngram_list(words, 2), "_gl3": ngram_list(words, 3)}
+        )
+        .withColumns(
+            {
+                "top_2gram_frac": top_frac_of(F.col("_gl2")),
+                "dup_2gram_frac": dup_frac_of(F.col("_gl2")),
+                "dup_3gram_frac": dup_frac_of(F.col("_gl3")),
+            }
+        )
+        .drop("_gl2", "_gl3")
+    )
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = quality_metrics(df, text_col)
     out = token_counts(out, text_col)
+    out = repetition_metrics(out, text_col)
     return out.withColumn("lang_pred", lang_id(F.lower(F.col(text_col))))

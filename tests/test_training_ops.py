@@ -515,3 +515,65 @@ def test_decontamination_is_case_insensitive(spark):
     )
     test = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [BASE]}))
     assert contaminated_ids(train, test).count() == 1
+
+
+# ---- Gopher-style repetition signals (operators/textanalysis.py) ----
+
+
+def test_repetition_metrics_known_values(spark):
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        repetition_metrics,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b a b a b",          # 5 2-grams: ab,ba,ab,ba,ab
+                "all words here fully unique",
+                "solo",                  # < k words: one whole-text gram
+            ],
+        }
+    )
+    out = repetition_metrics(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[0, "top_2gram_frac"] == 0.6    # "a b" x3 of 5
+    assert out.loc[0, "dup_2gram_frac"] == 0.6    # 2 distinct of 5
+    assert out.loc[0, "dup_3gram_frac"] == 0.5    # 2 distinct of 4
+    assert out.loc[1, "dup_2gram_frac"] == 0.0
+    assert out.loc[1, "top_2gram_frac"] == 0.25   # 4 grams, all unique
+    assert out.loc[2, "dup_2gram_frac"] == 0.0
+    assert out.loc[2, "top_2gram_frac"] == 1.0
+
+
+def test_repetition_metrics_matches_python_mirror(spark):
+    """Sorted-run fold == collections.Counter mode on arbitrary texts."""
+    from collections import Counter
+
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        repetition_metrics,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "beta beta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 40)))
+        for _ in range(60)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(60), "text": texts})
+    got = repetition_metrics(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+
+    def grams(t, k):
+        w = t.lower().split(" ")
+        return (
+            [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+            if len(w) >= k
+            else [" ".join(w)]
+        )
+
+    for i, t in enumerate(texts):
+        g2, g3 = grams(t, 2), grams(t, 3)
+        assert got.loc[i, "top_2gram_frac"] == round(
+            max(Counter(g2).values()) / len(g2), 4
+        )
+        assert got.loc[i, "dup_2gram_frac"] == round(1 - len(set(g2)) / len(g2), 4)
+        assert got.loc[i, "dup_3gram_frac"] == round(1 - len(set(g3)) / len(g3), 4)
