@@ -147,6 +147,48 @@ def main() -> None:
         ndp.unpersist()
         timed("simhash", docs.select("doc_id", simhash(F.lower(F.col("text")), 16).alias("s")))
 
+        # corpus-prep legs (round 5): all three are scan-shaped — repetition
+        # is a pure projection, packing is one shuffle keyed by pack_shard,
+        # decontamination is explode + broadcast semi-join (the test split's
+        # distinct gram set is the broadcast side; at a test corpus too big
+        # to broadcast the operator documents dropping the hint)
+        from daily_journal_dataflow_qc_spark.operators.dedup import (
+            contaminated_ids,
+        )
+        from daily_journal_dataflow_qc_spark.operators.packing import (
+            pack_sequences,
+        )
+        from daily_journal_dataflow_qc_spark.operators.sampling import hash_split
+        from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+            repetition_metrics,
+        )
+
+        timed(
+            "repetition_metrics",
+            repetition_metrics(docs).select(
+                "doc_id", "top_2gram_frac", "dup_2gram_frac", "dup_3gram_frac"
+            ),
+        )
+
+        t0 = time.time()
+        packed = pack_sequences(
+            docs.withColumn(
+                "n_tokens", F.size(F.split(F.lower(F.col("text")), " ", -1))
+            ),
+            2048,
+            n_shards=cores * 2,
+        )
+        n_bins = packed.select("pack_shard", "pack_bin").distinct().count()
+        walls["pack_sequences"] = round(time.time() - t0, 2)
+
+        split_docs = hash_split(docs, "doc_id")
+        t0 = time.time()
+        n_contam = contaminated_ids(
+            split_docs.filter(F.col("split") != "test"),
+            split_docs.filter(F.col("split") == "test"),
+        ).count()
+        walls["decontaminate"] = round(time.time() - t0, 2)
+
         # bucket-size distribution of the banded LSH join (the quantity the
         # pair space actually depends on — sum over buckets of |b|^2)
         band_cols = []
@@ -292,6 +334,8 @@ def main() -> None:
                     "ivf_rows": n_ivf,
                     "ivf_recall_at1_vs_exact": ivf_recall1,
                     "embedding_near_dup_pairs": n_ndp,
+                    "pack_bins": n_bins,
+                    "contaminated_docs": n_contam,
                     "ann_n_planes": n_planes,
                     "lsh_buckets": {k: float(v) for k, v in lsh_stats.items()},
                     "ann_buckets": {k: float(v) for k, v in ann_buckets.items()},

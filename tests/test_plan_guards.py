@@ -282,3 +282,34 @@ def test_similarity_ivf_plan_shape(spark):
         # ==" — count shuffles in the final section only
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("Exchange") <= 2, plan
+
+
+def test_assignments_row_plan_shape(spark):
+    """Scale pins for the doc-grain assignments row (minhash_signature =
+    signatures + sampling + packing + decontamination): every join is a
+    broadcast (the test-gram semi-join and the flagged-ids outer join —
+    never SortMergeJoin/cartesian), no Python anywhere, and the only
+    exchanges are the two window partitionings (stratum source, pack
+    shard) plus the flagged-id distinct."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_guard", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["minhash_signature"](spark, "/root/testdata/sf0.001")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan  # Batch- and ArrowEvalPython
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 2, plan
+    n_shuffles = sum(
+        1
+        for l in final.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    )
+    assert n_shuffles <= 4, plan
