@@ -476,10 +476,13 @@ def q_text_analysis(spark, sf):
     # streaming/job.py turn_projection — over a constructed non-ASCII tail),
     # and the Gopher-style repetition signals (top/dup n-gram shares; the
     # top-gram mass is a sorted-run F.aggregate fold — no explode/shuffle)
+    # ... and the per-doc TF-IDF aggregates (corpus-statistics round-trip:
+    # doc-frequency + N computed corpus-wide, joined back per doc)
     from daily_journal_dataflow_qc_spark.operators.textanalysis import (
         dup_frac_of,
         lang_id,
         ngram_list,
+        tfidf_doc_scores,
         top_frac_of,
     )
 
@@ -511,6 +514,12 @@ def q_text_analysis(spark, sf):
         top_frac_of(F.col("_gl2")).alias("top_2gram_frac"),
         dup_frac_of(F.col("_gl2")).alias("dup_2gram_frac"),
         dup_frac_of(F.col("_gl3")).alias("dup_3gram_frac"),
+    ).join(tfidf_doc_scores(_t(spark, sf, "documents")), "doc_id", "left").withColumns(
+        {
+            "tfidf_mean": F.coalesce("tfidf_mean", F.lit(0.0)),
+            "tfidf_max": F.coalesce("tfidf_max", F.lit(0.0)),
+            "n_unique_terms": F.coalesce("n_unique_terms", F.lit(0)).cast("long"),
+        }
     )
 
 
@@ -1474,6 +1483,21 @@ def oracle_sql() -> dict[str, str]:
                       FROM (SELECT doc_id, unnest(gl2) AS g FROM b)
                       GROUP BY doc_id, g)
                 GROUP BY doc_id
+            ), tcx AS (
+                SELECT doc_id, term, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(list_filter(w, x -> x != '')) AS term FROM b0)
+                GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, SUM(cnt) AS dlen FROM tcx GROUP BY doc_id
+            ), dfq AS (
+                SELECT term, COUNT(*) AS dft FROM tcx GROUP BY term
+            ), tfi AS (
+                SELECT tcx.doc_id,
+                       round(avg((cnt / dlen) * (ln(((SELECT COUNT(*) FROM documents) + 1.0) / (dft + 1.0)) + 1)), 4) AS tfidf_mean,
+                       round(max((cnt / dlen) * (ln(((SELECT COUNT(*) FROM documents) + 1.0) / (dft + 1.0)) + 1)), 4) AS tfidf_max,
+                       COUNT(*) AS n_unique_terms
+                FROM tcx JOIN dl USING (doc_id) JOIN dfq USING (term)
+                GROUP BY tcx.doc_id
             ), sc AS (
                 SELECT doc_id,
                        len(list_filter(w, x -> x IN ({stop_en}))) AS en,
@@ -1499,8 +1523,12 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'ASCII' ELSE 'UTF-8' END AS txt_encoding_type,
                    round(m2.mx / m2.tot, 4) AS top_2gram_frac,
                    round(1 - len(list_distinct(gl2)) / len(gl2), 4) AS dup_2gram_frac,
-                   round(1 - len(list_distinct(gl3)) / len(gl3), 4) AS dup_3gram_frac
+                   round(1 - len(list_distinct(gl3)) / len(gl3), 4) AS dup_3gram_frac,
+                   COALESCE(tfi.tfidf_mean, 0.0) AS tfidf_mean,
+                   COALESCE(tfi.tfidf_max, 0.0) AS tfidf_max,
+                   CAST(COALESCE(tfi.n_unique_terms, 0) AS BIGINT) AS n_unique_terms
             FROM b JOIN sc ON b.doc_id = sc.doc_id JOIN m2 ON b.doc_id = m2.doc_id
+                 LEFT JOIN tfi ON b.doc_id = tfi.doc_id
         """,
         # lsh_bucketed_ann: planes are seeded-deterministic -> full relational
         # mirror with the planes embedded as SQL literals

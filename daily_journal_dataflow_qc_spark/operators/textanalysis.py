@@ -169,6 +169,54 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_doc_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_idf: bool = True,
+) -> DataFrame:
+    """Per-doc TF-IDF aggregates (``tfidf_mean``, ``tfidf_max``,
+    ``n_unique_terms``) with the sklearn-style smooth IDF
+    ``ln((N+1)/(df_t+1)) + 1`` (public formula) and length-normalized TF.
+    Docs with zero non-empty terms are absent (callers left-join).
+
+    Distributed shape — the corpus-statistics round-trip: one shuffle to
+    (doc, term) counts, a term-keyed partial agg for document frequency, a
+    1-row broadcast for N, then the IDF table joins BACK onto the counts.
+    ``broadcast_idf`` fits when the vocabulary obeys Heaps' law at the
+    corpus size; at web scale with an unpruned vocabulary, pass False and
+    let the term join shuffle (or pre-prune with a min-df filter)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != "")
+    tc = (
+        df.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    doclen = tc.groupBy(id_col).agg(F.sum("cnt").alias("_len"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    idf = (
+        tc.groupBy("term")
+        .agg(F.count("*").alias("_dft"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.log((F.col("_n") + 1) / (F.col("_dft") + 1)) + 1).alias("_idf"),
+        )
+    )
+    idf = F.broadcast(idf) if broadcast_idf else idf
+    w = (F.col("cnt") / F.col("_len")) * F.col("_idf")
+    return (
+        tc.join(doclen, id_col)
+        .join(idf, "term")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(w), 4).alias("tfidf_mean"),
+            F.round(F.max(w), 4).alias("tfidf_max"),
+            F.count("*").alias("n_unique_terms"),
+        )
+    )
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = quality_metrics(df, text_col)
     out = token_counts(out, text_col)

@@ -577,3 +577,46 @@ def test_repetition_metrics_matches_python_mirror(spark):
         )
         assert got.loc[i, "dup_2gram_frac"] == round(1 - len(set(g2)) / len(g2), 4)
         assert got.loc[i, "dup_3gram_frac"] == round(1 - len(set(g3)) / len(g3), 4)
+
+
+def test_tfidf_doc_scores_matches_pandas(spark):
+    """Spark TF-IDF aggregates == a Counter-based mirror of the same
+    published smooth-IDF formula; empty-term docs are absent."""
+    import math
+    from collections import Counter
+
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        tfidf_doc_scores,
+    )
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the log",
+        2: "completely different words entirely",
+        3: "",  # zero non-empty terms -> absent from output
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    got = (
+        tfidf_doc_scores(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 3 not in got.index
+
+    n = len(texts)  # N counts ALL docs (the operator uses df.count())
+    dft = Counter()
+    for t in texts.values():
+        dft.update(set(w for w in t.lower().split(" ") if w))
+    for i, t in texts.items():
+        terms = [w for w in t.lower().split(" ") if w]
+        if not terms:
+            continue
+        c = Counter(terms)
+        ws = [
+            (cnt / len(terms)) * (math.log((n + 1) / (dft[term] + 1)) + 1)
+            for term, cnt in c.items()
+        ]
+        assert got.loc[i, "tfidf_mean"] == round(sum(ws) / len(ws), 4)
+        assert got.loc[i, "tfidf_max"] == round(max(ws), 4)
+        assert got.loc[i, "n_unique_terms"] == len(c)
