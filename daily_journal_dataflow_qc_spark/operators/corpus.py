@@ -1,0 +1,87 @@
+"""End-to-end training-corpus preparation: the standard pretraining data
+pipeline (public practice: quality gate -> exact dedup -> near-dup cluster
+resolution -> test-set decontamination -> split -> sequence packing),
+expressed entirely as a composition of this package's operators so one call
+yields the doc-grain training assignments.
+
+Every stage is the already-scale-evidenced operator (see
+BENCH/BASELINE.md): the chain adds NO new shuffle shapes of its own —
+its cost is the sum of its stages, and each stage's 100-TB story is
+documented where the stage lives.
+
+Stage order is deliberate and matters:
+
+1. quality/repetition gate FIRST — cheapest per row (pure projection), so
+   every later stage sees fewer rows;
+2. exact dedup before near-dup — verbatim copies would otherwise inflate
+   every LSH bucket by their multiplicity;
+3. near-dup cluster resolution (minhash-LSH pairs -> connected components
+   -> one survivor per cluster);
+4. decontamination AFTER dedup — flags are per-content, so deduping first
+   avoids re-flagging the same text many times;
+5. split BEFORE packing, and packing groups by split — a training sequence
+   must never mix train/val/test docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    connected_components,
+    decontaminate,
+    dedup_survivors,
+    exact_dedup,
+    near_dup_pairs,
+)
+from .packing import pack_sequences
+from .sampling import hash_split
+from .textanalysis import repetition_metrics, with_text_analysis
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    test_corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.66,
+    max_top_2gram: float = 0.5,
+    near_dup_threshold: float = 0.7,
+    max_tokens: int = 2048,
+    n_shards: int = 64,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Run the full preparation chain and return one row per SURVIVING doc:
+    ``(id, n_tokens, split, pack_shard, pack_bin, pack_pos)``.
+
+    ``test_corpus`` (optional) is the evaluation set to decontaminate
+    against; when None the decontamination stage is skipped."""
+    # 1. quality + repetition gate (pure projections)
+    scored = repetition_metrics(with_text_analysis(docs, text_col), text_col)
+    kept = scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("top_2gram_frac") <= max_top_2gram)
+    ).select(id_col, text_col, F.col("ws_tokens").alias("n_tokens"))
+
+    # 2. exact dedup (content-hash groupBy, min-id survivor)
+    kept = exact_dedup(kept, text_col, id_col)
+
+    # 3. near-dup cluster resolution: LSH pairs -> components -> survivors
+    pairs = near_dup_pairs(kept, threshold=near_dup_threshold)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    kept = dedup_survivors(kept, comps, id_col)
+
+    # 4. n-gram decontamination against the evaluation corpus
+    if test_corpus is not None:
+        kept = decontaminate(kept, test_corpus, text_col, id_col)
+
+    # 5. leakage-safe split, then 6. packing grouped by split so no
+    # training sequence mixes splits
+    split = hash_split(kept, id_col, weights=split_weights)
+    packed = pack_sequences(
+        split, max_tokens, n_shards=n_shards, id_col=id_col, group_cols=["split"]
+    )
+    return packed.select(
+        id_col, "n_tokens", "split", "pack_shard", "pack_bin", "pack_pos"
+    )

@@ -40,13 +40,18 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_shards: int = 64,
     seed: str = "pack",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Annotate every row with ``pack_shard``, ``pack_bin`` (the training
-    sequence it joins), and ``pack_pos`` (its concat position in the bin)."""
+    sequence it joins), and ``pack_pos`` (its concat position in the bin).
+    ``group_cols`` prepend to the shard partitioning so bins never mix
+    groups (e.g. ``["split"]`` keeps val docs out of train sequences);
+    bin ids are then unique per (group, shard)."""
     if max_tokens < 1 or n_shards < 1:
         raise ValueError("pack_sequences: max_tokens and n_shards must be >= 1")
+    grp = list(group_cols or [])
     h = seeded_hash(F.col(id_col).cast("string"), f"{seed}:")
-    w = Window.partitionBy("pack_shard").orderBy("_pack_h", id_col)
+    w = Window.partitionBy(*grp, "pack_shard").orderBy("_pack_h", id_col)
     cum_before = F.coalesce(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
@@ -58,7 +63,9 @@ def pack_sequences(
             "pack_bin", F.floor(cum_before / F.lit(max_tokens)).cast("int")
         )
     )
-    wp = Window.partitionBy("pack_shard", "pack_bin").orderBy("_pack_h", id_col)
+    wp = Window.partitionBy(*grp, "pack_shard", "pack_bin").orderBy(
+        "_pack_h", id_col
+    )
     return out.withColumn("pack_pos", F.row_number().over(wp).cast("int")).drop(
         "_pack_h"
     )

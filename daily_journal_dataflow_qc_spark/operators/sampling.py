@@ -85,6 +85,37 @@ def hash_sample(
     return df.filter(_bucket(F.col(key_col), f"{seed}:") < cut)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted corpus mixture: keep each row with ITS SOURCE'S rate — the
+    domain-weighted sampling every published pretraining mixture uses
+    (web 0.1, books 0.9, ...; public practice). Per-source Bernoulli by the
+    portable hash of ``source:key``, so draws are independent across
+    sources, reproducible under any partitioning, and engine-mirrorable.
+    Sources absent from ``rates`` keep ``default_rate`` (0 = dropped).
+    Pure projection predicate — no shuffle, pushes into the scan."""
+    if any(not 0 <= r <= 1 for r in rates.values()) or not 0 <= default_rate <= 1:
+        raise ValueError("mixture_sample: rates must be in [0, 1]")
+    cut = None
+    for s, r in rates.items():
+        c = F.lit(int(round(r * _BUCKETS)))
+        cond = F.col(source_col) == s
+        cut = F.when(cond, c) if cut is None else cut.when(cond, c)
+    dflt = F.lit(int(round(default_rate * _BUCKETS)))
+    cut = dflt if cut is None else cut.otherwise(dflt)
+    b = _bucket(
+        F.concat(F.col(source_col), F.lit(":"), F.col(key_col).cast("string")),
+        f"{seed}:",
+    )
+    return df.filter(b < cut)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
