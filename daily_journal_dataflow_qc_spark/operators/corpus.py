@@ -37,7 +37,7 @@ from .dedup import (
 )
 from .packing import pack_sequences
 from .sampling import hash_split
-from .textanalysis import repetition_metrics, with_text_analysis
+from .textanalysis import with_text_analysis
 
 
 def prepare_corpus(
@@ -48,6 +48,7 @@ def prepare_corpus(
     min_quality: float = 0.66,
     max_top_2gram: float = 0.5,
     near_dup_threshold: float = 0.7,
+    decontam_k: int = 8,
     max_tokens: int = 2048,
     n_shards: int = 64,
     split_weights: dict[str, float] | None = None,
@@ -56,9 +57,12 @@ def prepare_corpus(
     ``(id, n_tokens, split, pack_shard, pack_bin, pack_pos)``.
 
     ``test_corpus`` (optional) is the evaluation set to decontaminate
-    against; when None the decontamination stage is skipped."""
-    # 1. quality + repetition gate (pure projections)
-    scored = repetition_metrics(with_text_analysis(docs, text_col), text_col)
+    against; when None the decontamination stage is skipped.
+    ``decontam_k`` defaults to 8-word grams — the published practice uses
+    8-13 (a 3-gram default over-flags: any common phrase contaminates)."""
+    # 1. quality + repetition gate (pure projections; with_text_analysis
+    # already includes repetition_metrics — no double gram construction)
+    scored = with_text_analysis(docs, text_col)
     kept = scored.filter(
         (F.col("quality_score") >= min_quality)
         & (F.col("top_2gram_frac") <= max_top_2gram)
@@ -68,13 +72,13 @@ def prepare_corpus(
     kept = exact_dedup(kept, text_col, id_col)
 
     # 3. near-dup cluster resolution: LSH pairs -> components -> survivors
-    pairs = near_dup_pairs(kept, threshold=near_dup_threshold)
+    pairs = near_dup_pairs(kept, text_col, id_col, threshold=near_dup_threshold)
     comps = connected_components(pairs.select("id_a", "id_b"))
     kept = dedup_survivors(kept, comps, id_col)
 
     # 4. n-gram decontamination against the evaluation corpus
     if test_corpus is not None:
-        kept = decontaminate(kept, test_corpus, text_col, id_col)
+        kept = decontaminate(kept, test_corpus, text_col, id_col, k=decontam_k)
 
     # 5. leakage-safe split, then 6. packing grouped by split so no
     # training sequence mixes splits

@@ -98,8 +98,9 @@ def mixture_sample(
     (web 0.1, books 0.9, ...; public practice). Per-source Bernoulli by the
     portable hash of ``source:key``, so draws are independent across
     sources, reproducible under any partitioning, and engine-mirrorable.
-    Sources absent from ``rates`` keep ``default_rate`` (0 = dropped).
-    Pure projection predicate — no shuffle, pushes into the scan."""
+    Sources absent from ``rates`` — including a NULL source — keep
+    ``default_rate`` (0 = dropped). Pure projection predicate — no
+    shuffle, pushes into the scan."""
     if any(not 0 <= r <= 1 for r in rates.values()) or not 0 <= default_rate <= 1:
         raise ValueError("mixture_sample: rates must be in [0, 1]")
     cut = None
@@ -109,8 +110,14 @@ def mixture_sample(
         cut = F.when(cond, c) if cut is None else cut.when(cond, c)
     dflt = F.lit(int(round(default_rate * _BUCKETS)))
     cut = dflt if cut is None else cut.otherwise(dflt)
+    # coalesce: concat null-propagates, and a NULL bucket would silently
+    # DROP null-source rows regardless of default_rate
     b = _bucket(
-        F.concat(F.col(source_col), F.lit(":"), F.col(key_col).cast("string")),
+        F.concat(
+            F.coalesce(F.col(source_col), F.lit("")),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        ),
         f"{seed}:",
     )
     return df.filter(b < cut)

@@ -170,7 +170,6 @@ def main() -> None:
             ),
         )
 
-        t0 = time.time()
         packed = pack_sequences(
             docs.withColumn(
                 "n_tokens", F.size(F.split(F.lower(F.col("text")), " ", -1))
@@ -178,8 +177,11 @@ def main() -> None:
             2048,
             n_shards=cores * 2,
         )
+        # noop-write the FULL frame (a bins-only count would let Catalyst
+        # prune the pack_pos window — the CLAUDE.md count() gotcha), then
+        # count bins untimed
+        timed("pack_sequences", packed)
         n_bins = packed.select("pack_shard", "pack_bin").distinct().count()
-        walls["pack_sequences"] = round(time.time() - t0, 2)
 
         split_docs = hash_split(docs, "doc_id")
         t0 = time.time()

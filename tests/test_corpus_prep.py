@@ -83,6 +83,12 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert "s2" not in frac.index
     with pytest.raises(ValueError, match="rates"):
         mixture_sample(d, {"s0": 1.5})
+    # NULL source rows take default_rate, never a silent drop
+    dn = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "source": [None] * 20})
+    )
+    assert mixture_sample(dn, {"s0": 0.5}, default_rate=1.0).count() == 20
+    assert mixture_sample(dn, {"s0": 0.5}, default_rate=0.0).count() == 0
 
 
 def test_mixture_sample_matches_duckdb_arithmetic(spark):
