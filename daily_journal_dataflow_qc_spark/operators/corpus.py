@@ -59,7 +59,12 @@ def prepare_corpus(
     ``test_corpus`` (optional) is the evaluation set to decontaminate
     against; when None the decontamination stage is skipped.
     ``decontam_k`` defaults to 8-word grams — the published practice uses
-    8-13 (a 3-gram default over-flags: any common phrase contaminates)."""
+    8-13 (a 3-gram default over-flags: any common phrase contaminates).
+
+    NB docs under 2 words always fail the repetition gate: the whole-text
+    gram fallback makes their ``top_2gram_frac`` exactly 1.0 — deliberate
+    (single-token rows are not training material); raise ``max_top_2gram``
+    to 1.0 to keep them."""
     # 1. quality + repetition gate (pure projections; with_text_analysis
     # already includes repetition_metrics — no double gram construction)
     scored = with_text_analysis(docs, text_col)

@@ -51,11 +51,13 @@ def word_shingles(text_lc: Column, k: int = 3) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row per distinct content (deterministic: min id)."""
+    """Keep one ROW per distinct content (deterministic: min id). The final
+    dropDuplicates collapses verbatim re-deliveries — duplicate rows of the
+    surviving id itself — which the semi-join alone would keep."""
     keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
         F.min(id_col).alias(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    return df.join(keep, id_col, "left_semi").dropDuplicates([id_col])
 
 
 def minhash_signatures(

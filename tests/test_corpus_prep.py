@@ -27,8 +27,10 @@ def test_prepare_corpus_each_stage_fires(spark):
                     GOOD,            # exact dup of 0 -> dropped at stage 2
                     NEAR,            # near-dup of 0 -> dropped at stage 3
                     LEAKED,          # shares shingles with test -> stage 4
-                    "spam " * 40,    # top_2gram_frac = 1 -> stage 1
-                    "ok",            # n_words < 5 -> quality gate, stage 1
+                    "spam " * 40,    # top_2gram_frac ~1 -> stage-1 repetition gate
+                    "ok",            # < 2 words: whole-text gram fallback makes
+                                     # top_2gram_frac = 1.0 -> same gate
+                                     # (quality_score alone is 0.6667, above 0.66)
                 ],
             }
         )
@@ -112,3 +114,72 @@ def test_mixture_sample_matches_duckdb_arithmetic(spark):
         """
     ).df()
     assert got.doc_id.tolist() == want.doc_id.tolist()
+
+
+def test_streaming_corpus_ingest(spark, tmp_path):
+    """Streaming front door: quality/repetition gate + first-arrival content
+    dedup, exactly-once across re-runs, and batch-tier agreement (dup rows
+    are verbatim re-deliveries, so first-arrival == min-id)."""
+    import time
+
+    from daily_journal_dataflow_qc_spark.operators.dedup import exact_dedup
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        with_text_analysis,
+    )
+    from daily_journal_dataflow_qc_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ts0 = pd.Timestamp("2025-06-01 12:00:00", tz="UTC")
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us, UTC]")
+        pdf.to_parquet(in_dir / name)
+
+    mk(
+        {
+            "doc_id": [0, 1, 4],
+            "text": [GOOD, LEAKED, "spam " * 40],
+            "source": ["s0"] * 3,
+            "ts": [ts0] * 3,
+        },
+        "b0.parquet",
+    )
+    time.sleep(1.1)  # mtime order = arrival order
+    mk(
+        {
+            "doc_id": [0, 2],  # 0 = verbatim re-delivery (same id/text/ts)
+            "text": [GOOD, NEAR],
+            "source": ["s0", "s1"],
+            "ts": [ts0, ts0 + pd.Timedelta(minutes=5)],
+        },
+        "b1.parquet",
+    )
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_corpus_ingest_stream(
+        spark, str(in_dir), out_dir, ck, available_now=True
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got.doc_id) == [0, 1, 2], got
+    assert (got.n_tokens > 0).all() and got.quality_score.min() >= 0.66
+
+    # exactly-once: a restart with no new input appends nothing
+    q2 = start_corpus_ingest_stream(
+        spark, str(in_dir), out_dir, ck, available_now=True
+    )
+    q2.awaitTermination(180)
+    again = spark.read.parquet(out_dir).toPandas()
+    assert sorted(again.doc_id) == [0, 1, 2]
+
+    # batch-tier agreement on the same input
+    batch = spark.read.parquet(str(in_dir))
+    gated = with_text_analysis(batch).filter(
+        (F.col("quality_score") >= 0.66) & (F.col("top_2gram_frac") <= 0.5)
+    )
+    want = sorted(exact_dedup(gated).toPandas().doc_id)
+    assert sorted(got.doc_id) == want
