@@ -51,13 +51,19 @@ def word_shingles(text_lc: Column, k: int = 3) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one ROW per distinct content (deterministic: min id). The final
-    dropDuplicates collapses verbatim re-deliveries — duplicate rows of the
-    surviving id itself — which the semi-join alone would keep."""
-    keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
-        F.min(id_col).alias(id_col)
+    """Keep one ROW per distinct content (deterministic: min id) — also
+    collapses verbatim re-deliveries (duplicate rows of the surviving id).
+    ONE shuffle keyed by the content hash (rank-1 window); the earlier
+    agg + semi-join + dropDuplicates form paid three exchanges for the
+    same contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return df.join(keep, id_col, "left_semi").dropDuplicates([id_col])
 
 
 def minhash_signatures(
