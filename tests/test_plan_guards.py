@@ -315,3 +315,33 @@ def test_assignments_row_plan_shape(spark):
         if "Exchange" in l and "BroadcastExchange" not in l
     )
     assert n_shuffles <= 4, plan
+
+
+def test_text_analysis_row_plan_shape(spark):
+    """Scale pins for the doc-grain analysis row (text_analysis = quality/
+    repetition projections + the TF-IDF corpus round-trip): no Python, no
+    SortMergeJoin/cartesian; the only nested-loop join is the legitimate
+    1-row corpus-count broadcast, and the exchange count stays at the
+    corpus-stats shape (term counts, doc length, doc frequency, join-back,
+    final doc agg) — a rewrite that silently doubles it fails here."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    out = entry_mod.queries()["text_analysis"](spark, sf_dir)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, plan
+    assert "CartesianProduct" not in final, plan
+    assert "EvalPython" not in final, plan
+    assert final.count("BroadcastNestedLoopJoin") <= 1, plan
+    n_shuffles = sum(
+        1
+        for l in final.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    )
+    assert n_shuffles <= 9, plan
