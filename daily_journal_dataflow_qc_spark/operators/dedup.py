@@ -51,19 +51,24 @@ def word_shingles(text_lc: Column, k: int = 3) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one ROW per distinct content (deterministic: min id) — also
-    collapses verbatim re-deliveries (duplicate rows of the surviving id).
-    ONE shuffle keyed by the content hash (rank-1 window); the earlier
-    agg + semi-join + dropDuplicates form paid three exchanges for the
-    same contract."""
-    from pyspark.sql import Window
+    """Keep one ROW per distinct content (deterministic: min id; NULL ids
+    never survive) — also collapses verbatim re-deliveries (duplicate rows
+    of the surviving id itself, which the semi-join alone would keep).
 
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    SKEW NOTE (why not a rank-1 window): a single window over
+    ``md5(text)`` would be one exchange instead of three, and measures 4x
+    faster on the skew-FREE bench corpus — but it funnels every copy of a
+    hot content hash through one task (row_number has no partial agg and
+    AQE does not split window skew). A web crawl with one boilerplate page
+    duplicated millions of times — the exact input this operator exists
+    for — would straggle/OOM there. ``groupBy(md5).agg(min)`` does
+    map-side combine, so hot hashes cost ~1 row per mapper; the id-keyed
+    join and final dropDuplicates shuffle on (near-)unique keys, which
+    cannot be hot."""
+    keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
     )
+    return df.join(keep, id_col, "left_semi").dropDuplicates([id_col])
 
 
 def minhash_signatures(

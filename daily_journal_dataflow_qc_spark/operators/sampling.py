@@ -110,13 +110,15 @@ def mixture_sample(
         cut = F.when(cond, c) if cut is None else cut.when(cond, c)
     dflt = F.lit(int(round(default_rate * _BUCKETS)))
     cut = dflt if cut is None else cut.otherwise(dflt)
-    # coalesce: concat null-propagates, and a NULL bucket would silently
-    # DROP null-source rows regardless of default_rate
+    # coalesce BOTH sides: concat null-propagates, and a NULL bucket would
+    # silently DROP the row regardless of its rate. NULL-key rows of a
+    # source share one bucket (kept or dropped together) — a draw on a
+    # missing key is ill-defined, collective fate is the documented choice
     b = _bucket(
         F.concat(
             F.coalesce(F.col(source_col), F.lit("")),
             F.lit(":"),
-            F.col(key_col).cast("string"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
         ),
         f"{seed}:",
     )

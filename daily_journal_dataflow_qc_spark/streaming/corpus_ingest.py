@@ -50,8 +50,9 @@ DOC_STREAM_SCHEMA = StructType(
     ]
 )
 
-#: columns the admitted store keeps (analysis columns ride along so the
-#: downstream batch chain never recomputes the gate's own evidence)
+#: columns the admitted store keeps. The analysis columns ride along for
+#: audit/monitoring of the gate's decisions; NB the batch chain
+#: (prepare_corpus) recomputes them from text — it takes raw corpora too
 _OUT_COLS = [
     "doc_id",
     "text",

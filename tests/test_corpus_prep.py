@@ -91,6 +91,13 @@ def test_mixture_sample_rates_and_determinism(spark):
     )
     assert mixture_sample(dn, {"s0": 0.5}, default_rate=1.0).count() == 20
     assert mixture_sample(dn, {"s0": 0.5}, default_rate=0.0).count() == 0
+    # NULL key at rate 1.0 must also never silently drop
+    dk = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": pd.array([None] * 5, dtype="Int64"), "source": ["s0"] * 5}
+        )
+    )
+    assert mixture_sample(dk, {"s0": 1.0}).count() == 5
 
 
 def test_mixture_sample_matches_duckdb_arithmetic(spark):
