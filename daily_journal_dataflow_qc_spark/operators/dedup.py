@@ -56,15 +56,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     of the surviving id itself, which the semi-join alone would keep).
 
     SKEW NOTE (why not a rank-1 window): a single window over
-    ``md5(text)`` would be one exchange instead of three, and measures 4x
-    faster on the skew-FREE bench corpus — but it funnels every copy of a
-    hot content hash through one task (row_number has no partial agg and
-    AQE does not split window skew). A web crawl with one boilerplate page
-    duplicated millions of times — the exact input this operator exists
-    for — would straggle/OOM there. ``groupBy(md5).agg(min)`` does
-    map-side combine, so hot hashes cost ~1 row per mapper; the id-keyed
-    join and final dropDuplicates shuffle on (near-)unique keys, which
-    cannot be hot."""
+    ``md5(text)`` would be one exchange instead of three and measures
+    faster at every scale this sandbox can build (BENCH/BASELINE.md has
+    the A/B, including a 2M-copy hot group) — but its per-task memory is
+    O(largest duplicate group): row_number has no partial aggregation and
+    AQE cannot split window skew, so one boilerplate page with 50M copies
+    puts the whole group through one task on a real cluster (OOM cliff at
+    executor-sized memory). ``groupBy(md5).agg(min)`` does map-side
+    combine, keeping per-task memory bounded regardless of the duplicate
+    distribution; the id-keyed join and final dropDuplicates shuffle on
+    (near-)unique keys, which cannot be hot."""
     keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
         F.min(id_col).alias(id_col)
     )
