@@ -27,7 +27,7 @@ window would serialize the corpus through one task). The bin id is global:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import seeded_hash
@@ -68,4 +68,44 @@ def pack_sequences(
     )
     return out.withColumn("pack_pos", F.row_number().over(wp).cast("int")).drop(
         "_pack_h"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dual of packing: SPLIT each doc into chunks of at most
+    ``max_tokens`` whitespace tokens, carrying ``overlap`` tokens from the
+    previous chunk (embedding/indexing prep — public RAG/retrieval
+    practice). Output grain is (doc, chunk): ``chunk_idx`` (0-based),
+    ``chunk_text``, ``chunk_tokens``; original case preserved; a doc
+    shorter than the budget yields exactly one chunk of itself.
+
+    100-TB shape: pure projection + posexplode — per-row JVM array work,
+    no shuffle, output rows ~ total_tokens / (max_tokens - overlap)."""
+    if max_tokens < 1 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            "chunk_documents: need max_tokens >= 1 and 0 <= overlap < max_tokens"
+        )
+    step = max_tokens - overlap
+    words = F.split(F.col(text_col), " ", -1)
+    n = F.size(words)
+    # chunk starts 1, 1+step, ... — last start covers the tail exactly once
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1))
+    starts = F.sequence(
+        F.lit(1), (n_chunks - 1) * step + 1, F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s, max_tokens), " ")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "chunk_tokens", F.size(F.split(F.col("chunk_text"), " ", -1))
     )

@@ -190,3 +190,17 @@ def test_streaming_corpus_ingest(spark, tmp_path):
     )
     want = sorted(exact_dedup(gated).toPandas().doc_id)
     assert sorted(got.doc_id) == want
+
+
+def test_prepare_corpus_empty_input(spark):
+    """Zero-row corpora flow through every stage without a crash."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    assert prepare_corpus(empty).count() == 0
+    assert prepare_corpus(empty, empty).count() == 0

@@ -134,3 +134,67 @@ def test_pack_matches_duckdb_window_arithmetic(spark):
     ).df()
     for c in ["pack_shard", "pack_bin", "pack_pos"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+# ---- chunk_documents (the dual: split long docs) ----
+
+
+def test_chunk_documents_known_values(spark):
+    from daily_journal_dataflow_qc_spark.operators.packing import chunk_documents
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [" ".join(f"w{i}" for i in range(11)), "Short Doc"],
+        }
+    )
+    got = (
+        chunk_documents(spark.createDataFrame(pdf), max_tokens=4, overlap=1)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    d0 = got[got.doc_id == 0]
+    # 11 tokens, window 4, step 3 -> ceil(10/3)=4 chunks starting 0,3,6,9
+    assert d0.chunk_text.tolist() == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+        "w9 w10",
+    ]
+    assert d0.chunk_idx.tolist() == [0, 1, 2, 3]
+    assert d0.chunk_tokens.tolist() == [4, 4, 4, 2]
+    d1 = got[got.doc_id == 1]
+    assert d1.chunk_text.tolist() == ["Short Doc"], "case preserved, one chunk"
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0) and
+    concatenating reproduces the original token stream exactly."""
+    from daily_journal_dataflow_qc_spark.operators.packing import chunk_documents
+
+    texts = [
+        " ".join(f"t{i}" for i in range(n)) for n in (1, 2, 5, 16, 17, 31, 64, 100)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        chunk_documents(spark.createDataFrame(pdf), max_tokens=16, overlap=4)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    for i, t in enumerate(texts):
+        chunks = got[got.doc_id == i].chunk_text.tolist()
+        rebuilt = chunks[0].split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.split(" ")[4:]
+        assert rebuilt == t.split(" "), (i, chunks)
+        # every chunk obeys the budget
+        assert all(len(c.split(" ")) <= 16 for c in chunks)
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    from daily_journal_dataflow_qc_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark), max_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark), max_tokens=0)
