@@ -198,3 +198,39 @@ def test_chunk_documents_rejects_bad_args(spark):
         chunk_documents(_docs(spark), max_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(_docs(spark), max_tokens=0)
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    """Chunk boundaries reproduce in DuckDB (engine-agnostic semantics)."""
+    from daily_journal_dataflow_qc_spark.operators.packing import chunk_documents
+
+    texts = [" ".join(f"w{j}" for j in range((i * 13) % 57 + 1)) for i in range(40)]
+    pdf = pd.DataFrame({"doc_id": range(40), "text": texts})
+    got = (
+        chunk_documents(spark.createDataFrame(pdf), max_tokens=8, overlap=2)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.execute(
+        """
+        WITH b AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM docs
+        ), n AS (
+            SELECT *, GREATEST(CAST(CEIL((len(w) - 2) / 6.0) AS BIGINT), 1) AS k
+            FROM b
+        ), c AS (
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, k - 1)) AS INT) AS chunk_idx,
+                   w, k
+            FROM n
+        )
+        SELECT doc_id, chunk_idx,
+               array_to_string(list_slice(w, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' ') AS chunk_text,
+               len(string_split(array_to_string(list_slice(w, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' '), ' ')) AS chunk_tokens
+        FROM c ORDER BY doc_id, chunk_idx
+        """
+    ).df()
+    assert got.chunk_text.tolist() == want.chunk_text.tolist()
+    assert got.chunk_tokens.tolist() == want.chunk_tokens.tolist()
