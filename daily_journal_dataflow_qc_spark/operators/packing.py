@@ -27,10 +27,11 @@ window would serialize the corpus through one task). The bin id is global:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import seeded_hash
+from ..functions.text_metrics import words
 
 
 def pack_sequences(
@@ -85,27 +86,37 @@ def chunk_documents(
     ``chunk_text``, ``chunk_tokens``; original case preserved; a doc
     shorter than the budget yields exactly one chunk of itself.
 
+    NULL-text rows yield no chunks (filtered — a null chunk is useless to
+    an embedder and would poison token aggregates).
+
     100-TB shape: pure projection + posexplode — per-row JVM array work,
-    no shuffle, output rows ~ total_tokens / (max_tokens - overlap)."""
+    no shuffle, output rows ~ total_tokens / (max_tokens - overlap);
+    chunk_tokens comes from the slice bounds (integer arithmetic), not a
+    second scan of the chunk text."""
     if max_tokens < 1 or overlap < 0 or overlap >= max_tokens:
         raise ValueError(
             "chunk_documents: need max_tokens >= 1 and 0 <= overlap < max_tokens"
         )
     step = max_tokens - overlap
-    words = F.split(F.col(text_col), " ", -1)
-    n = F.size(words)
+    w = words(F.col(text_col))  # canonical literal-space tokenization
+    n = F.size(w)
     # chunk starts 1, 1+step, ... — last start covers the tail exactly once
     n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1))
-    starts = F.sequence(
-        F.lit(1), (n_chunks - 1) * step + 1, F.lit(step)
-    )
+    starts = F.sequence(F.lit(1), (n_chunks - 1) * step + 1, F.lit(step))
     chunks = F.transform(
-        starts, lambda s: F.array_join(F.slice(words, s, max_tokens), " ")
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(w, s, max_tokens), " ").alias("t"),
+            F.least(F.lit(max_tokens), n - s + 1).alias("k"),
+        ),
     )
-    out = df.select(
-        F.col(id_col),
-        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
-    )
-    return out.withColumn(
-        "chunk_tokens", F.size(F.split(F.col("chunk_text"), " ", -1))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_c.t").alias("chunk_text"),
+            F.col("_c.k").cast("int").alias("chunk_tokens"),
+        )
     )

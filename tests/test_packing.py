@@ -234,3 +234,12 @@ def test_chunk_documents_matches_duckdb(spark):
     ).df()
     assert got.chunk_text.tolist() == want.chunk_text.tolist()
     assert got.chunk_tokens.tolist() == want.chunk_tokens.tolist()
+
+
+def test_chunk_documents_null_text_yields_no_chunks(spark):
+    from daily_journal_dataflow_qc_spark.operators.packing import chunk_documents
+
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["two words", None]})
+    got = chunk_documents(spark.createDataFrame(pdf), max_tokens=4).toPandas()
+    assert got.doc_id.tolist() == [0]
+    assert got.chunk_tokens.tolist() == [2]
