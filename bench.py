@@ -81,6 +81,13 @@ def main() -> None:
     ap.add_argument("--base-convs", type=int, default=120)
     ap.add_argument("--no-streaming", action="store_true",
                     help="skip the Structured Streaming (availableNow) throughput section")
+    ap.add_argument("--streaming-only", action="store_true",
+                    help="run ONLY the streaming section (skips flagship + operator "
+                    "queries) — used for quiet-host streaming re-benches")
+    ap.add_argument("--streaming-runs", type=int, default=1,
+                    help="repetitions of the streaming section (best-of-N, fresh "
+                    "checkpoint per run; 1 by default — the single-run wall "
+                    "deliberately includes checkpoint/commit overhead)")
     args = ap.parse_args()
 
     from daily_journal_dataflow_qc_spark.config import PipelineConfig
@@ -148,35 +155,39 @@ def main() -> None:
             list(pool.map(materialize, outputs))
         return time.time() - t0, out
 
-    # best-of-N like the operator queries (single-run flagship numbers mix
-    # page-cache state of the freshly (re)generated input into the timing);
-    # clearCache between runs — the plan persists qc/rollup internally and
-    # CacheManager would otherwise serve run 2 from run 1's cache
-    pipeline_sec, out = run_flagship()
-    for _ in range(max(0, args.timed_runs - 1)):
-        spark.catalog.clearCache()
-        sec, out = run_flagship()
-        pipeline_sec = min(pipeline_sec, sec)
-    # row counts (cheap: upstream stages are cached), outside the timing
-    counts = {
-        "accepted": out.accepted.count(),
-        "rejected": out.rejected.count(),
-        "issues": out.issues.count(),
-        "turn_stats": out.turn_stats.count(),
-    }
-    timings["qc_pipeline"] = round(pipeline_sec, 3)
-    turns_per_sec = n_turns / pipeline_sec
     import atexit
     import shutil
 
     atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
+
+    counts: dict[str, int] = {}
+    turns_per_sec = None
+    if not args.streaming_only:
+        # best-of-N like the operator queries (single-run flagship numbers mix
+        # page-cache state of the freshly (re)generated input into the timing);
+        # clearCache between runs — the plan persists qc/rollup internally and
+        # CacheManager would otherwise serve run 2 from run 1's cache
+        pipeline_sec, out = run_flagship()
+        for _ in range(max(0, args.timed_runs - 1)):
+            spark.catalog.clearCache()
+            sec, out = run_flagship()
+            pipeline_sec = min(pipeline_sec, sec)
+        # row counts (cheap: upstream stages are cached), outside the timing
+        counts = {
+            "accepted": out.accepted.count(),
+            "rejected": out.rejected.count(),
+            "issues": out.issues.count(),
+            "turn_stats": out.turn_stats.count(),
+        }
+        timings["qc_pipeline"] = round(pipeline_sec, 3)
+        turns_per_sec = n_turns / pipeline_sec
 
     # ---- operator queries over the driver tables.
     # One UNTIMED warm pass per query (first execution pays JIT/codegen and,
     # on a loaded shared host, can read 10-15x steady-state — BENCH_r02's
     # minhash "regression" was exactly this), then best-of-N timed runs so
     # round-over-round comparisons measure the plan, not the first-run noise.
-    if not args.flagship_only:
+    if not args.flagship_only and not args.streaming_only:
         import __spark_entry__ as entry_mod
 
         qs = entry_mod.queries()
@@ -232,9 +243,9 @@ def main() -> None:
             sentinel.coalesce(1).write.mode("append").parquet(stream_in)
             with open(marker, "w") as f:
                 f.write("ok")
-        out_root = os.path.join(scratch, f"djdq_stream_bench_{os.getpid()}")
-        shutil.rmtree(out_root, ignore_errors=True)
-        atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+        out_base = os.path.join(scratch, f"djdq_stream_bench_{os.getpid()}")
+        shutil.rmtree(out_base, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_base, ignore_errors=True)
         conv_meta_df = spark.read.parquet(f"{bench_dir}/conv_meta.parquet")
         # state-partition sizing: the BATCH plan wants a high static shuffle
         # width (sort-spill headroom at 27M+ rows) but a STATEFUL stream pays
@@ -249,23 +260,30 @@ def main() -> None:
             str(spark.sparkContext.defaultParallelism),
         )
         try:
-            t0 = time.time()
-            q, sinks = start_session_qc_query(
-                spark, stream_in, out_root, conv_meta_df, PipelineConfig()
-            )
-            finished = q.awaitTermination(600)
-            streaming_sec = time.time() - t0
+            best_sec, best_sinks = None, None
+            for run_i in range(max(1, args.streaming_runs)):
+                out_root = os.path.join(out_base, f"run{run_i}")
+                t0 = time.time()
+                q, sinks = start_session_qc_query(
+                    spark, stream_in, out_root, conv_meta_df, PipelineConfig()
+                )
+                finished = q.awaitTermination(600)
+                streaming_sec = time.time() - t0
+                if not finished:
+                    # timed out: the wall time is a clamp, not a measurement —
+                    # stop the query cleanly rather than report a bogus rate
+                    q.stop()
+                    q.awaitTermination(60)
+                    break
+                if best_sec is None or streaming_sec < best_sec:
+                    best_sec, best_sinks = streaming_sec, sinks
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if finished:
-            timings["streaming_qc"] = round(streaming_sec, 3)
-            streaming_tps = round(n_turns / streaming_sec, 1)
-            counts["streaming_audio_qc"] = sinks["audio_qc"].read(spark).count()
+        if best_sec is not None:
+            timings["streaming_qc"] = round(best_sec, 3)
+            streaming_tps = round(n_turns / best_sec, 1)
+            counts["streaming_audio_qc"] = best_sinks["audio_qc"].read(spark).count()
         else:
-            # timed out: the wall time is a clamp, not a measurement — stop
-            # the query cleanly and report nothing rather than a bogus rate
-            q.stop()
-            q.awaitTermination(60)
             counts["streaming_audio_qc"] = -1
 
     total = round(sum(timings.values()), 3)
@@ -278,7 +296,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "bench_turns": n_turns,
-                "turns_per_sec": round(turns_per_sec, 1),
+                "turns_per_sec": round(turns_per_sec, 1) if turns_per_sec else None,
                 "streaming_turns_per_sec": streaming_tps,
                 "pipeline_output_rows": counts,
                 "master": args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
