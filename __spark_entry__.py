@@ -354,12 +354,20 @@ def q_text_metrics(spark, sf):
     # F3/F4/F5 (literal-space word count + substring counts) + F6 (the
     # double-space-join nonverbal regex) + F8 (dash-prefix stutters over a
     # derived dashed column) + F9/W7 (adjacent-token repeats) + F10
-    # (restarts) — every doc-grain disfluency primitive in ONE projection
+    # (restarts) — every doc-grain disfluency primitive in ONE projection —
+    # PLUS (round 6, registry cap: same-grain merge) the chunk_documents
+    # operator (operators/packing.py) hash-checked end-to-end: each doc is
+    # split into 8-token chunks with 2-token overlap and re-aggregated to
+    # doc grain as (n_chunks, chunk_tokens_total, md5 digest of the
+    # chunk_idx-ordered '|'-joined chunk texts) — the digest pins every
+    # chunk BOUNDARY and every chunk's TEXT, not just counts
+    from daily_journal_dataflow_qc_spark.operators.packing import chunk_documents
+
     d = _t(spark, sf, "documents")
     lc = F.lower(F.col("text"))
     padded = F.concat(F.lit(" "), F.array_join(F.split(lc, " ", -1), "  "), F.lit(" "))
     dashed = F.replace(lc, F.lit("table"), F.lit("ta-table"))
-    return d.select(
+    metrics = d.select(
         "doc_id",
         TM.word_count(lc).cast("long").alias("word_count"),
         TM.substr_count(lc, "table").cast("long").alias("n_table"),
@@ -369,6 +377,20 @@ def q_text_metrics(spark, sf):
         TM.stutter_repeats(dashed).cast("long").alias("n_stutters"),
         TM.word_repeats(lc).cast("long").alias("n_repeats"),
     )
+    chunks = chunk_documents(d, max_tokens=8, overlap=2).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("chunk_tokens_total"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                "|",
+            )
+        ).alias("chunks_digest"),
+    )
+    return metrics.join(chunks, "doc_id", "left")
 
 
 def q_dedup_exact_docs(spark, sf):
@@ -388,14 +410,17 @@ def q_minhash_signature(spark, sf):
     # train/val/test split (90/5/5), 10% Bernoulli-by-hash membership flag,
     # the within-source stratified-draw rank, the greedy sequence-packing
     # assignment (operators/packing.py: shard/bin/pos at a 256-token budget)
-    # and the n-gram test-set decontamination flag (operators/dedup.py:
+    # the n-gram test-set decontamination flag (operators/dedup.py:
     # train∪val docs sharing any 3-shingle with the hash-split test corpus)
-    # — all reproduced bit-exactly by the DuckDB mirror, so partition-
-    # independence is hash-checked
+    # and (round 6) the domain-weighted mixture_sample survival flag
+    # (operators/sampling.py:88 — per-source Bernoulli rates src0=0.9,
+    # src1=0.5, src2=0.1, default 0.3) — all reproduced bit-exactly by the
+    # DuckDB mirror, so partition-independence is hash-checked
     from daily_journal_dataflow_qc_spark.operators.dedup import contaminated_ids
     from daily_journal_dataflow_qc_spark.operators.packing import pack_sequences
     from daily_journal_dataflow_qc_spark.operators.sampling import (
         hash_split,
+        mixture_sample,
         stratified_sample,
     )
 
@@ -426,8 +451,12 @@ def q_minhash_signature(spark, sf):
         split_docs.filter(F.col("split") != "test"),
         split_docs.filter(F.col("split") == "test"),
     ).withColumn("_contam", F.lit(True))
+    mixed = mixture_sample(
+        d, {"src0": 0.9, "src1": 0.5, "src2": 0.1}, default_rate=0.3
+    ).select("doc_id", F.lit(True).alias("_mix"))
     return (
         packed.join(F.broadcast(flagged), "doc_id", "left")
+        .join(F.broadcast(mixed), "doc_id", "left")
         .select(
             "doc_id",
             *cols,
@@ -438,6 +467,7 @@ def q_minhash_signature(spark, sf):
             "pack_bin",
             "pack_pos",
             F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
+            F.coalesce(F.col("_mix"), F.lit(False)).alias("mixture_kept"),
         )
     )
 
@@ -459,10 +489,13 @@ def q_embedding_nn(spark, sf):
     )
 
     e = _t(spark, sf, "embeddings")
-    bf = brute_force_knn(e, e, k=1).select(
+    # ONE count serves both engines' size guards (n_rows_hint — previously
+    # each operator re-counted the same frame)
+    n = e.count()
+    bf = brute_force_knn(e, e, k=1, n_rows_hint=n).select(
         F.lit("bf").alias("method"), "vec_id", "nn_id", "cos_sim"
     )
-    ivf = ivf_knn(e, n_cells=8, n_probe=8, k=1, seed=42).select(
+    ivf = ivf_knn(e, n_cells=8, n_probe=8, k=1, seed=42, n_rows_hint=n).select(
         F.lit("ivf").alias("method"), "vec_id", "nn_id", "cos_sim"
     )
     return bf.unionAll(ivf)
@@ -2157,8 +2190,31 @@ def oracle_sql() -> dict[str, str]:
                         i -> CASE WHEN replace(string_split(lower(text), ' ')[i-1], ',', '')
                                      = replace(string_split(lower(text), ' ')[i], ',', '')
                                   THEN 1 ELSE 0 END
-                   )), 0) AS BIGINT) AS n_repeats
+                   )), 0) AS BIGINT) AS n_repeats,
+                   ch.n_chunks, ch.chunk_tokens_total, ch.chunks_digest
             FROM documents
+            LEFT JOIN (
+                WITH w AS (
+                    SELECT doc_id, string_split(text, ' ') AS w,
+                           GREATEST(CAST(CEIL((len(string_split(text, ' ')) - 2) / 6.0) AS BIGINT), 1) AS k
+                    FROM documents WHERE text IS NOT NULL
+                ), c AS (
+                    SELECT doc_id,
+                           CAST(unnest(generate_series(0, k - 1)) AS INT) AS chunk_idx,
+                           w, len(w) AS n
+                    FROM w
+                ), t AS (
+                    SELECT doc_id, chunk_idx,
+                           array_to_string(list_slice(w, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' ') AS chunk_text,
+                           LEAST(8, n - (chunk_idx * 6 + 1) + 1) AS chunk_tokens
+                    FROM c
+                )
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens_total,
+                       md5(string_agg(chunk_text, '|' ORDER BY chunk_idx)) AS chunks_digest
+                FROM t GROUP BY doc_id
+            ) ch USING (doc_id)
         """,
         "dedup_exact_docs": """
             SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
@@ -2172,7 +2228,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(('0x' || substring(md5('split:'  || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS pb,
                        CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS sb,
                        CAST(('0x' || substring(md5('strat:'  || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS tb,
-                       CAST(('0x' || substring(md5('pack:'   || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ph
+                       CAST(('0x' || substring(md5('pack:'   || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ph,
+                       CAST(('0x' || substring(md5('mix:' || coalesce(source, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15)) AS BIGINT) % 1000000 AS mb
                 FROM documents
             ), b2 AS (
                 SELECT *,
@@ -2202,7 +2259,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (
                        PARTITION BY pack_shard, CAST(FLOOR(cum / 256) AS INT)
                        ORDER BY ph, doc_id) AS INT) AS pack_pos,
-                   doc_id IN (SELECT doc_id FROM fl) AS contaminated
+                   doc_id IN (SELECT doc_id FROM fl) AS contaminated,
+                   mb < (CASE source WHEN 'src0' THEN 900000
+                                     WHEN 'src1' THEN 500000
+                                     WHEN 'src2' THEN 100000
+                                     ELSE 300000 END) AS mixture_kept
             FROM c
         """,
         "embedding_nn": """

@@ -236,6 +236,24 @@ def connected_components(
     Raises ``RuntimeError`` if not converged within ``max_iterations`` —
     never returns a partially-merged clustering silently.
     """
+    def edge_stats(e: DataFrame) -> tuple:
+        # ONE action per round: the fixpoint test compares (count,
+        # xor-of-row-hashes, decimal-sum-of-row-hashes) of two DISTINCT
+        # canonical edge sets instead of running a count job plus a full
+        # exceptAll anti-join job (two passes over E per round, round 5).
+        # Set equality follows from stat equality up to an xxhash64
+        # coincidence across two independent 64-bit statistics at equal
+        # cardinality (~2^-128 per round) — a checksum-grade bound for a
+        # convergence check. decimal(38,0) sum: ANSI mode would overflow a
+        # BIGINT sum of ±2^63 hashes at any realistic edge count.
+        h = F.xxhash64("u", "v")
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(h).alias("hx"),
+            F.sum(h.cast("decimal(38,0)")).alias("hs"),
+        ).head()
+        return (row["n"], row["hx"], row["hs"])
+
     edges = (
         pairs.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -245,7 +263,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if edges.isEmpty():
+    stats = edge_stats(edges)
+    if stats[0] == 0:
         return edges.select(F.col("u").alias("node_id"), F.col("v").alias("cluster_rep"))
 
     for _ in range(max_iterations):
@@ -271,11 +290,9 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        converged = (
-            new_edges.count() == edges.count()
-            and new_edges.exceptAll(edges).isEmpty()
-        )
-        edges = new_edges
+        new_stats = edge_stats(new_edges)
+        converged = new_stats == stats
+        edges, stats = new_edges, new_stats
         if converged:
             # fixpoint = disjoint stars: (child, component-min) edges
             return edges.select(

@@ -98,10 +98,19 @@ def brute_force_knn(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     max_candidates: int = MAX_BROADCAST_CANDIDATES,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k via broadcast candidate matrix + batched GEMM."""
+    """Exact cosine top-k via broadcast candidate matrix + batched GEMM.
+
+    ``n_rows_hint``: caller-known candidate row count (same contract as the
+    ivf/lsh operators) — skips the guard's ``count()`` action so a composed
+    pipeline that already counted the frame (or just built it with a known
+    cardinality) doesn't pay one extra full scan per operator. The guard
+    still holds: ``toPandas`` below collects exactly the hinted frame, so a
+    wrong hint under-states memory only if the caller lied about its own
+    data."""
     spark = queries.sparkSession
-    n_cand = candidates.count()
+    n_cand = n_rows_hint if n_rows_hint is not None else candidates.count()
     if n_cand > max_candidates:
         raise ValueError(
             f"brute_force_knn: candidate set has {n_cand} rows > "
@@ -413,6 +422,63 @@ def _ivf_assign(
     return embeddings.select(id_col, vec_col).mapInPandas(assign, ASSIGN_SCHEMA)
 
 
+def _split_hot_cells(
+    assigned: DataFrame, max_cell_rows: int | None
+) -> tuple[DataFrame, list[str]]:
+    """Automatic skew bound for the IVF family: k-means cells are not
+    size-balanced, and a hot cell (one dominant cluster in the corpus) is
+    memory-bounded by the chunked GEMM but not TIME-bounded — one straggler
+    task serializes the stage. Same salting pattern as ``operators/skew.py``,
+    adapted to the query/candidate asymmetry:
+
+    * every cell whose CANDIDATE count exceeds ``max_cell_rows`` is split
+      into ``n_sub = ceil(count / max_cell_rows)`` sub-cells (a hash split:
+      per-sub-cell size is ``max_cell_rows`` in EXPECTATION with sqrt-n
+      concentration — tight at real hot-cell sizes, noisy at toy ones);
+    * each candidate lands in ONE sub-cell (hash of its id), keeping
+      per-(cell, sub_cell) candidate sets disjoint — the downstream reduces
+      (row_number top-k / pair max-dedup) need no change;
+    * each QUERY row replicates to ALL sub-cells of its probed cell, so
+      every (query, candidate) co-occurrence of the unsplit plan is
+      preserved exactly once — full-probe exactness is unchanged.
+
+    Cost model: the per-cell count is a cell-grain aggregate joined back by
+    broadcast (no extra driver action); unsplit cells explode to exactly one
+    row (n_sub = 1). Split cells pay query replication ``n_sub x |queries|``
+    — the shuffle-volume price of bounding max task wall at
+    O(|queries| * max_cell_rows). ``max_cell_rows=None`` disables."""
+    if max_cell_rows is None:
+        return assigned, ["cell"]
+    if max_cell_rows < 1:
+        raise ValueError("max_cell_rows must be >= 1 (or None to disable)")
+    counts = (
+        assigned.filter(F.col("is_cand"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    # left join: a probed-but-nobody's-home cell has no candidate count (and
+    # contributes no output) — keep its rows with n_sub = 1 so the split is
+    # provably output-identical to the unsplit plan
+    n_sub = F.greatest(
+        F.lit(1), F.ceil(F.col("_nc") / F.lit(max_cell_rows)).cast("int")
+    )
+    out = (
+        assigned.join(F.broadcast(counts), "cell", "left")
+        .withColumn("_n_sub", F.coalesce(n_sub, F.lit(1)))
+        .withColumn("sub_cell", F.explode(F.sequence(F.lit(0), F.col("_n_sub") - 1)))
+        .withColumn(
+            "is_cand",
+            F.col("is_cand")
+            & (
+                F.col("sub_cell")
+                == F.pmod(F.xxhash64("vec_id"), F.col("_n_sub")).cast("int")
+            ),
+        )
+        .drop("_nc", "_n_sub")
+    )
+    return out, ["cell", "sub_cell"]
+
+
 def ivf_knn(
     embeddings: DataFrame,
     n_cells: int | None = None,
@@ -427,6 +493,7 @@ def ivf_knn(
     n_rows_hint: int | None = None,
     dim: int | None = None,
     exclude_self: bool = True,
+    max_cell_rows: int | None = 65536,
 ) -> DataFrame:
     """Approximate self-NN via an IVF (inverted-file) coarse quantizer — the
     centroid-bucketed complement to ``lsh_bucketed_knn`` (random planes).
@@ -457,10 +524,12 @@ def ivf_knn(
     N; the broadcast is n_cells x dim floats; shuffled volume is
     n_probe * N vectors. Default ``n_cells = ceil(sqrt(N))`` keeps expected
     |cell| ~ sqrt(N); at billions of rows pass ``n_cells ~ N / 4096`` so
-    cells stay task-sized. Known skew lever: k-means cells are NOT
-    size-balanced — a hot cell is bounded in memory by the chunked GEMM but
-    not in time; raising n_cells (finer quantizer) is the mitigation, since
-    AQE skew-split does not apply inside applyInPandas groups.
+    cells stay task-sized. Skew: k-means cells are NOT size-balanced and AQE
+    skew-split cannot reach inside applyInPandas groups, so cells whose
+    candidate count exceeds ``max_cell_rows`` are split AUTOMATICALLY by a
+    secondary hash (``_split_hot_cells`` — exact, query-replicating); a
+    finer quantizer (higher n_cells) remains the cheaper lever when the
+    corpus allows it.
     """
     assigned = _ivf_assign(
         embeddings,
@@ -534,7 +603,8 @@ def ivf_knn(
             )
         return pd.concat(frames, ignore_index=True)
 
-    per = assigned.groupBy("cell").applyInPandas(per_cell, raw_schema)
+    split, keys = _split_hot_cells(assigned, max_cell_rows)
+    per = split.groupBy(*keys).applyInPandas(per_cell, raw_schema)
     from pyspark.sql import Window
 
     # Arrow maps the pandas NaN sentinel to SQL NULL on the way out of
@@ -572,6 +642,7 @@ def embedding_near_dup(
     chunk_rows: int = 1024,
     n_rows_hint: int | None = None,
     dim: int | None = None,
+    max_cell_rows: int | None = 65536,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space member of
     the dedup family (exact hash / minhash-LSH / simhash / n-gram Jaccard /
@@ -592,7 +663,8 @@ def embedding_near_dup(
 
     100-TB shape: identical to ``ivf_knn`` (bounded driver training,
     n_cells x dim broadcast, n_probe * N shuffled vectors, chunked per-cell
-    GEMM) plus an output-bound pair shuffle for the dedup reduce.
+    GEMM, automatic hot-cell splitting at ``max_cell_rows`` candidates)
+    plus an output-bound pair shuffle for the dedup reduce.
     """
     if not threshold > 0:
         raise ValueError("embedding_near_dup: threshold must be > 0")
@@ -657,11 +729,13 @@ def embedding_near_dup(
             return empty
         return pd.concat(frames, ignore_index=True)
 
-    pairs = assigned.groupBy("cell").applyInPandas(per_cell, raw_schema)
+    split, keys = _split_hot_cells(assigned, max_cell_rows)
+    pairs = split.groupBy(*keys).applyInPandas(per_cell, raw_schema)
     # a pair is found once per shared cell (<= n_probe times, and twice in
     # ONE cell when both sides probe it: (a as query, b as cand) + (b as
-    # query, a as cand)); max() over bitwise-identical raw GEMM values is a
-    # deterministic dedup
+    # query, a as cand)); max() over the raw GEMM values is a deterministic
+    # dedup (both occurrences are always present, so max is order-free even
+    # if BLAS blocking differs by a ulp across cells/sub-cells)
     return pairs.groupBy("id_a", "id_b").agg(
         F.round(F.max("raw_cos"), 2).alias("cos_sim")
     )

@@ -38,7 +38,11 @@ def is_catalog_table(location: str) -> bool:
 
 
 def read_table(
-    spark: SparkSession, location: str, schema: StructType, streaming: bool = False
+    spark: SparkSession,
+    location: str,
+    schema: StructType,
+    streaming: bool = False,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Batch or streaming scan of a transcripts-shaped source.
 
@@ -47,13 +51,15 @@ def read_table(
       contract columns exist,
     * parquet directory (local stand-in): ``schema`` is applied explicitly
       (file streams require it; batch reads use it to avoid inference).
+
+    ``options`` pass through to the reader (e.g. ``maxFilesPerTrigger`` for
+    file-stream backpressure, or catalog-specific read options).
     """
     if is_catalog_table(location):
-        df = (
-            spark.readStream.table(location)
-            if streaming
-            else spark.read.table(location)
-        )
+        rd = spark.readStream if streaming else spark.read
+        if options:
+            rd = rd.options(**options)
+        df = rd.table(location)
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
             raise ValueError(
@@ -63,4 +69,6 @@ def read_table(
     reader = (
         spark.readStream.schema(schema) if streaming else spark.read.schema(schema)
     )
+    if options:
+        reader = reader.options(**options)
     return reader.parquet(location)

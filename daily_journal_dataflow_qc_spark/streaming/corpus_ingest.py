@@ -74,12 +74,22 @@ def start_corpus_ingest_stream(
     max_top_2gram: float = 0.5,
     dedup_watermark: str = "1 hour",
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream: parquet-dir or catalog-table source ->
     quality/repetition gate -> first-arrival content dedup -> exactly-once
-    parquet append of the admitted docs."""
+    parquet append of the admitted docs. ``max_files_per_trigger`` caps the
+    micro-batch size (file sources only) — production backpressure knob and
+    the kill/resume test's lever for multi-batch replay."""
     _apply_stream_conf(spark)
-    docs = read_table(spark, input_loc, DOC_STREAM_SCHEMA, streaming=True)
+    options = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    docs = read_table(
+        spark, input_loc, DOC_STREAM_SCHEMA, streaming=True, options=options
+    )
     scored = with_text_analysis(docs)
     admitted = (
         scored.filter(

@@ -229,7 +229,7 @@ def main() -> None:
 
         t0 = time.time()
         q10 = emb.filter(F.pmod("vec_id", F.lit(10)) == 0)
-        bf = brute_force_knn(q10, emb, k=5).persist()
+        bf = brute_force_knn(q10, emb, k=5, n_rows_hint=n_vecs).persist()
         n_bf = bf.count()
         walls["brute_force_knn_10pct_k5"] = round(time.time() - t0, 2)
 

@@ -192,6 +192,105 @@ def test_streaming_corpus_ingest(spark, tmp_path):
     assert sorted(got.doc_id) == want
 
 
+def test_streaming_corpus_ingest_kill_resume(spark, tmp_path):
+    """Exactly-once across a mid-stream kill: stop the ingest query after
+    its first committed micro-batch, restart from the same checkpoint to
+    completion, and require the admitted store to EQUAL an uninterrupted
+    run's — no doc lost, none duplicated, dedup state (first-arrival hashes)
+    restored across the restart. The QC tier pins this with a custom-sink
+    test (test_streaming_exactly_once_kill_resume); the ingest tier relies
+    on the plain FileStreamSink commit log, which this exercises directly."""
+    import os
+    import shutil
+    import time
+
+    from daily_journal_dataflow_qc_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ts0 = pd.Timestamp("2025-06-01 12:00:00", tz="UTC")
+
+    def doc(i):  # distinct gate-passing text per id
+        return f"document number {i} holds words the filter keeps easily today"
+
+    # 6 mtime-ordered files (one micro-batch each at maxFilesPerTrigger=1):
+    # re-deliveries of file-0/file-1 docs land in files 3-5 so at least one
+    # duplicate's first arrival is committed BEFORE the kill and its
+    # re-delivery arrives AFTER the restart — the state-restore case.
+    # (doc_id, text, minutes-offset of ts): re-deliveries are VERBATIM
+    # (same id/text/TS as the original batch — the datagen threat model)
+    batches = [
+        [(0, doc(0), 0), (1, doc(1), 0)],
+        [(2, doc(2), 1), (100, "spam " * 40, 1)],  # repetition-gated
+        [(3, doc(3), 2), (0, doc(0), 0)],          # verbatim re-delivery of 0
+        [(4, doc(4), 3), (1, doc(1), 0)],          # verbatim re-delivery of 1
+        [(5, doc(5), 4), (2, doc(2), 1)],          # verbatim re-delivery of 2
+        [(6, doc(6), 5)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": ["s0"] * len(rows),
+                "ts": [ts0 + pd.Timedelta(minutes=r[2]) for r in rows],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        pdf.to_parquet(in_dir / f"b{i}.parquet")
+        time.sleep(1.1)  # mtime order = arrival order
+
+    # uninterrupted baseline
+    base_out, base_ck = str(tmp_path / "base_out"), str(tmp_path / "base_ck")
+    q = start_corpus_ingest_stream(
+        spark, str(in_dir), base_out, base_ck,
+        available_now=True, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+    baseline = spark.read.parquet(base_out).toPandas()
+    assert sorted(baseline.doc_id) == [0, 1, 2, 3, 4, 5, 6]
+
+    # kill run: stop as soon as the sink commit log shows batch 0
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q2 = start_corpus_ingest_stream(
+        spark, str(in_dir), out2, ck2,
+        available_now=True, max_files_per_trigger=1,
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if os.path.exists(os.path.join(ck2, "commits", "0")):
+            break
+        time.sleep(0.2)
+    q2.stop()
+    q2.awaitTermination(120)
+    n_committed = len(
+        [f for f in os.listdir(os.path.join(ck2, "commits")) if f.isdigit()]
+    )
+    assert n_committed >= 1, "kill landed before any committed batch"
+
+    # resume from the same checkpoint to completion
+    q3 = start_corpus_ingest_stream(
+        spark, str(in_dir), out2, ck2,
+        available_now=True, max_files_per_trigger=1,
+    )
+    assert q3.awaitTermination(300)
+    resumed = spark.read.parquet(out2).toPandas()
+
+    # identical admitted set: no dup (each content admitted once), no loss
+    assert sorted(resumed.doc_id) == sorted(baseline.doc_id), (
+        f"kill after {n_committed} batches: resumed={sorted(resumed.doc_id)}"
+    )
+    b = baseline.sort_values("doc_id", ignore_index=True)
+    r = resumed.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        r[["doc_id", "text", "source", "n_tokens"]],
+        b[["doc_id", "text", "source", "n_tokens"]],
+    )
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
 def test_prepare_corpus_empty_input(spark):
     """Zero-row corpora flow through every stage without a crash."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType

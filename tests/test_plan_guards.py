@@ -254,10 +254,13 @@ def test_issues_set_runtime_plan_shape(spark, synth_dir, cfg):
 
 
 def test_similarity_ivf_plan_shape(spark):
-    """Scale pins for the IVF family: exactly the two necessary shuffles
-    (cell-keyed search + cross-probe/pair reduce), both Python stages
-    Arrow-batched (mapInPandas assign + grouped applyInPandas search), and
-    never a cartesian/nested-loop join or a row-at-a-time Python UDF."""
+    """Scale pins for the IVF family: exactly the three necessary shuffles
+    (cell-grain candidate counts for the automatic hot-cell split — a
+    CELL-cardinality aggregate, not a data shuffle —, the (cell, sub_cell)-
+    keyed search, and the cross-probe/pair reduce), the count table joined
+    back by BROADCAST, both Python stages Arrow-batched (mapInPandas assign
+    + grouped applyInPandas search), and never a cartesian/nested-loop join
+    or a row-at-a-time Python UDF."""
     import numpy as np
     import pandas as pd
 
@@ -280,19 +283,28 @@ def test_similarity_ivf_plan_shape(spark):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
         # the adaptive plan string repeats the tree under "== Initial Plan
         # ==" — count shuffles in the final section only
         final = plan.split("== Initial Plan ==")[0]
-        assert final.count("Exchange") <= 2, plan
+        real_shuffles = [
+            l
+            for l in final.splitlines()
+            if "Exchange" in l and "BroadcastExchange" not in l
+        ]
+        assert len(real_shuffles) <= 3, plan
+        assert final.count("BroadcastExchange") <= 1, plan
 
 
 def test_assignments_row_plan_shape(spark):
     """Scale pins for the doc-grain assignments row (minhash_signature =
-    signatures + sampling + packing + decontamination): every join is a
-    broadcast (the test-gram semi-join and the flagged-ids outer join —
-    never SortMergeJoin/cartesian), no Python anywhere, and the only
-    exchanges are the two window partitionings (stratum source, pack
-    shard) plus the flagged-id distinct."""
+    signatures + sampling + packing + decontamination + mixture flag):
+    every join is a broadcast (the test-gram semi-join, the flagged-ids
+    outer join, and the mixture-kept outer join — never SortMergeJoin/
+    cartesian), no Python anywhere, and the only exchanges are the two
+    window partitionings (stratum source, pack shard) plus the flagged-id
+    distinct (the mixture flag adds a broadcast, NOT a shuffle — it is a
+    pure projection predicate on the same scan)."""
     import os
 
     import __spark_entry__ as entry_mod
@@ -308,13 +320,64 @@ def test_assignments_row_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan  # Batch- and ArrowEvalPython
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("BroadcastHashJoin") == 2, plan
+    assert final.count("BroadcastHashJoin") == 3, plan
     n_shuffles = sum(
         1
         for l in final.splitlines()
         if "Exchange" in l and "BroadcastExchange" not in l
     )
     assert n_shuffles <= 4, plan
+
+
+def test_prepare_corpus_composed_plan_shape(spark):
+    """The end-to-end chain (gate -> exact dedup -> near-dup cluster
+    resolve -> decontamination -> split -> pack) composes stage plans
+    without multiplying them. Stage plans are guarded individually
+    (similarity/assignments/text-analysis guards above); this pins the
+    COMPOSITION on a fixture where every stage genuinely fires (verbatim
+    dups, near-dups, contaminated docs — AQE's empty-relation propagation
+    would otherwise elide the anti-joins and vacuously pass): the final
+    executed plan downstream of the checkpointed component frame has no
+    SortMergeJoin / cartesian / Python boundary and stays inside a fixed
+    real-shuffle budget (exact-dedup hash agg, survivor + decontam
+    anti-join re-derivations, gram distinct, pack window)."""
+    from pyspark.sql import functions as F
+
+    from daily_journal_dataflow_qc_spark.operators.corpus import prepare_corpus
+
+    def mk(ids, last):
+        return spark.range(*ids).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta tok"),
+                F.col("id").cast("string"),
+                F.lit(" epsilon zeta eta "),
+                F.lit(last),
+            ).alias("text"),
+        )
+
+    base = mk((0, 60), "theta")
+    dups = base.select((F.col("doc_id") + 60).alias("doc_id"), "text")
+    near = mk((0, 60), "iota").select((F.col("doc_id") + 120).alias("doc_id"), "text")
+    docs = base.unionAll(dups).unionAll(near)
+    test_c = mk((0, 5), "theta").select((F.col("doc_id") + 900).alias("doc_id"), "text")
+    out = prepare_corpus(docs, test_c, near_dup_threshold=0.5, decontam_k=8)
+    rows = out.collect()
+    # every stage fired: 60 base docs, minus the 5 whose 8-grams leak into
+    # the test corpus (verbatim + near dups all collapsed)
+    assert len(rows) == 55, len(rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, plan
+    assert "CartesianProduct" not in final, plan
+    assert "EvalPython" not in final, plan
+    assert "BroadcastNestedLoopJoin" not in final, plan
+    n_shuffles = sum(
+        1
+        for l in final.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l and "ReusedExchange" not in l
+    )
+    assert n_shuffles <= 8, plan
 
 
 def test_text_analysis_row_plan_shape(spark):

@@ -190,6 +190,13 @@ def test_brute_force_knn_size_guard(spark):
     )
     with pytest.raises(ValueError, match="max_candidates"):
         brute_force_knn(e, e, k=1, max_candidates=5)
+    # the guard consults n_rows_hint INSTEAD of counting: an over-limit hint
+    # refuses even though the actual frame is tiny (and a correct hint on
+    # the same frame skips the count() action entirely)
+    with pytest.raises(ValueError, match="max_candidates"):
+        brute_force_knn(e, e, k=1, max_candidates=5, n_rows_hint=6)
+    got = brute_force_knn(e, e, k=1, n_rows_hint=10).toPandas()
+    assert len(got) == 10
 
 
 def test_audio_metrics_m1_m2(spark):
@@ -285,6 +292,118 @@ def test_ivf_full_probe_equals_brute_force(spark):
         .sort_values(["vec_id", "rk"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(exact, ivf, check_dtype=False)
+
+
+def test_ivf_hot_cell_split_exact(spark):
+    """Automatic hot-cell splitting must be output-INVISIBLE: with
+    max_cell_rows=8 every 70-vector cell splits into sub-cells, and the
+    full-probe result must still EQUAL brute force (the splitting preserves
+    every (query, candidate) co-occurrence exactly once); partial probe must
+    equal the unsplit operator bit-for-bit."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 8)).astype(np.float32)
+    vecs = np.vstack([base, base[:10]])
+    vecs[65] = 0.0
+    pdf = pd.DataFrame({"vec_id": range(70), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    exact = (
+        brute_force_knn(df, df, k=3)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    split_full = (
+        ivf_knn(df, n_cells=6, n_probe=6, k=3, seed=5, max_cell_rows=8)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(exact, split_full, check_dtype=False)
+    part_unsplit = (
+        ivf_knn(df, n_cells=6, n_probe=2, k=3, seed=5, max_cell_rows=None)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    part_split = (
+        ivf_knn(df, n_cells=6, n_probe=2, k=3, seed=5, max_cell_rows=8)
+        .toPandas()
+        .sort_values(["vec_id", "rk"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(part_unsplit, part_split)
+
+
+def test_split_hot_cells_bounds_and_coverage(spark):
+    """The split primitive itself: candidate groups are bounded by
+    max_cell_rows, every vector stays a candidate EXACTLY once, and every
+    (query, candidate) cell co-occurrence survives in exactly one
+    (cell, sub_cell) group — the invariant that makes the downstream
+    reduces need no change."""
+    from daily_journal_dataflow_qc_spark.operators.similarity import (
+        _split_hot_cells,
+    )
+
+    # 40 vectors: hot cell 0 holds 25 candidates, cell 1 holds 15; every
+    # vector also probes the OTHER cell as a query-only row
+    rows = []
+    for v in range(40):
+        home = 0 if v < 25 else 1
+        rows.append((v, [float(v), 1.0], home, True))
+        rows.append((v, [float(v), 1.0], 1 - home, False))
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int, is_cand boolean"
+    )
+    out, keys = _split_hot_cells(assigned, max_cell_rows=6)
+    assert keys == ["cell", "sub_cell"]
+    pdf = out.toPandas()
+    # every vector is a candidate exactly once
+    cand = pdf[pdf.is_cand]
+    assert sorted(cand.vec_id) == list(range(40))
+    # candidate group sizes bounded IN EXPECTATION (hash split: E[rows] <=
+    # max_cell_rows, sqrt-n concentration at real cell sizes — at 25 rows
+    # the noise dominates, so assert the mean and the split factor, not a
+    # hard per-group cap), and the hot cell actually split
+    sizes = cand.groupby(["cell", "sub_cell"]).size()
+    hot = cand[cand.cell == 0]
+    assert hot.sub_cell.nunique() == 5  # ceil(25/6)
+    assert len(hot) / hot.sub_cell.nunique() <= 6
+    assert sizes.max() < 25  # no sub-cell kept the whole hot cell
+    # coverage: each (query, candidate) pair of the unsplit plan appears in
+    # exactly ONE (cell, sub_cell) group
+    groups = pdf.groupby(["cell", "sub_cell"])
+    seen: dict[tuple, int] = {}
+    for _, g in groups:
+        for q in g.vec_id:
+            for c in g[g.is_cand].vec_id:
+                seen[(q, c)] = seen.get((q, c), 0) + 1
+    for cell, members in ((0, range(25)), (1, range(25, 40))):
+        for q in range(40):
+            for c in members:
+                assert seen.get((q, c)) == 1, (q, c, seen.get((q, c)))
+
+
+def test_embedding_near_dup_hot_cell_split_exact(spark):
+    """Near-dup pair set is split-invariant (full probe = exact threshold
+    join even when every cell is forced to split)."""
+    from daily_journal_dataflow_qc_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs = np.vstack(
+        [base, base[:8] + rng.standard_normal((8, 8)).astype(np.float32) * 0.01]
+    )
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    unsplit = embedding_near_dup(
+        df, threshold=0.95, n_cells=5, n_probe=5, seed=13, max_cell_rows=None
+    ).toPandas()
+    split = embedding_near_dup(
+        df, threshold=0.95, n_cells=5, n_probe=5, seed=13, max_cell_rows=7
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        unsplit.sort_values(key, ignore_index=True),
+        split.sort_values(key, ignore_index=True),
+    )
 
 
 def test_ivf_recall_on_clustered_corpus(spark):
