@@ -414,12 +414,18 @@ def q_minhash_signature(spark, sf):
     # train∪val docs sharing any 3-shingle with the hash-split test corpus)
     # and (round 6) the domain-weighted mixture_sample survival flag
     # (operators/sampling.py:88 — per-source Bernoulli rates src0=0.9,
-    # src1=0.5, src2=0.1, default 0.3) — all reproduced bit-exactly by the
-    # DuckDB mirror, so partition-independence is hash-checked
+    # src1=0.5, src2=0.1, default 0.3) PLUS the multi-epoch UP-sampling
+    # mixture (mixture_epochs: src0 x2.5, src1 x1.0, src2 x0.25, default
+    # x0.5) hash-checked END-TO-END: n_epochs re-aggregates the operator's
+    # exploded output back to doc grain (0 = dropped), pinning filter,
+    # explode, and the floor+Bernoulli arithmetic — all reproduced
+    # bit-exactly by the DuckDB mirror, so partition-independence is
+    # hash-checked
     from daily_journal_dataflow_qc_spark.operators.dedup import contaminated_ids
     from daily_journal_dataflow_qc_spark.operators.packing import pack_sequences
     from daily_journal_dataflow_qc_spark.operators.sampling import (
         hash_split,
+        mixture_epochs,
         mixture_sample,
         stratified_sample,
     )
@@ -454,9 +460,15 @@ def q_minhash_signature(spark, sf):
     mixed = mixture_sample(
         d, {"src0": 0.9, "src1": 0.5, "src2": 0.1}, default_rate=0.3
     ).select("doc_id", F.lit(True).alias("_mix"))
+    epochs = (
+        mixture_epochs(d, {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default_epochs=0.5)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("_n_ep"))
+    )
     return (
         packed.join(F.broadcast(flagged), "doc_id", "left")
         .join(F.broadcast(mixed), "doc_id", "left")
+        .join(F.broadcast(epochs), "doc_id", "left")
         .select(
             "doc_id",
             *cols,
@@ -468,6 +480,7 @@ def q_minhash_signature(spark, sf):
             "pack_pos",
             F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
             F.coalesce(F.col("_mix"), F.lit(False)).alias("mixture_kept"),
+            F.coalesce(F.col("_n_ep"), F.lit(0)).alias("n_epochs"),
         )
     )
 
@@ -2263,7 +2276,15 @@ def oracle_sql() -> dict[str, str]:
                    mb < (CASE source WHEN 'src0' THEN 900000
                                      WHEN 'src1' THEN 500000
                                      WHEN 'src2' THEN 100000
-                                     ELSE 300000 END) AS mixture_kept
+                                     ELSE 300000 END) AS mixture_kept,
+                   CAST((CASE source WHEN 'src0' THEN 2
+                                     WHEN 'src1' THEN 1
+                                     ELSE 0 END)
+                        + CASE WHEN mb < (CASE source WHEN 'src0' THEN 500000
+                                                      WHEN 'src1' THEN 0
+                                                      WHEN 'src2' THEN 250000
+                                                      ELSE 500000 END)
+                               THEN 1 ELSE 0 END AS INT) AS n_epochs
             FROM c
         """,
         "embedding_nn": """

@@ -125,6 +125,77 @@ def mixture_sample(
     return df.filter(b < cut)
 
 
+def epoch_counts(
+    epochs: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    default_epochs: float = 0.0,
+) -> Column:
+    """Number of training copies a row earns under a multi-epoch mixture:
+    ``floor(e)`` guaranteed copies plus one more iff the row's hash bucket
+    falls below ``frac(e)`` — the UP-sampling half of domain weighting that
+    ``mixture_sample`` (rates <= 1) cannot express. Published pretraining
+    mixtures repeat small high-quality sources for several epochs while
+    down-sampling web crawl; a fractional epoch count (books x 2.5) means
+    every book appears twice and a deterministic half of them a third time.
+
+    With every ``e <= 1`` and the shared default seed this reduces EXACTLY
+    to ``mixture_sample``'s Bernoulli keep (same hash draw: count 1 = kept).
+    Exposed as a Column so callers can annotate at source grain (pure
+    projection — no shuffle) or explode (``mixture_epochs``). Same NULL
+    semantics as ``mixture_sample``: NULL sources take ``default_epochs``,
+    NULL keys of a source share one draw (collective fate)."""
+    vals = list(epochs.values()) + [default_epochs]
+    if any(not e >= 0 or e != e or e == float("inf") for e in vals):
+        raise ValueError("epoch_counts: epochs must be finite and >= 0")
+    base = None
+    cut = None
+    for s, e in epochs.items():
+        fl = int(e)
+        c = F.lit(int(round((e - fl) * _BUCKETS)))
+        cond = F.col(source_col) == s
+        base = F.when(cond, F.lit(fl)) if base is None else base.when(cond, F.lit(fl))
+        cut = F.when(cond, c) if cut is None else cut.when(cond, c)
+    dfl = F.lit(int(default_epochs))
+    dcut = F.lit(int(round((default_epochs - int(default_epochs)) * _BUCKETS)))
+    base = dfl if base is None else base.otherwise(dfl)
+    cut = dcut if cut is None else cut.otherwise(dcut)
+    b = _bucket(
+        F.concat(
+            F.coalesce(F.col(source_col), F.lit("")),
+            F.lit(":"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+        ),
+        f"{seed}:",
+    )
+    return (base + F.when(b < cut, 1).otherwise(0)).cast("int")
+
+
+def mixture_epochs(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    default_epochs: float = 0.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize the multi-epoch mixture: each row is replicated
+    ``epoch_counts(...)`` times with ``epoch_col`` = 0..n-1 (rows earning 0
+    copies are dropped). Pure projection + explode — no shuffle; output
+    volume is exactly the target token budget's row equivalent. The DuckDB
+    oracle reproduces it bit-exactly (generate_series over the same hash
+    arithmetic), so replication is partition-independent by construction."""
+    nc = epoch_counts(epochs, source_col, key_col, seed, default_epochs)
+    return (
+        df.withColumn("_n_ep", nc)
+        .filter(F.col("_n_ep") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_n_ep") - 1)))
+        .select(*df.columns, epoch_col)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -18,6 +18,8 @@ docs / 2,000 vectors):
 
 Usage:
   python scripts/dedup_scale_bench.py [docs_replicas ...]   # default: 10 100
+  python scripts/dedup_scale_bench.py --skew                # IVF hot-cell leg
+  python scripts/dedup_scale_bench.py --chain [replicas]    # prepare_corpus e2e
 
 Prints one JSON line per scale:
   {"n_docs": N, "walls": {op: sec}, "lsh_buckets": {...}, "ann_buckets": {...},
@@ -356,5 +358,142 @@ def sum_cols(cols):
     return out
 
 
+def skew_leg() -> None:
+    """IVF hot-cell leg (VERDICT r05 #5 done-criterion): a deliberately
+    skewed corpus — one dominant cluster of EXACT-duplicate embeddings (the
+    boilerplate-page case: identical text -> identical vectors), where
+    k-means necessarily assigns the whole cluster to a single cell — run
+    with automatic splitting off vs on. The unsplit plan serializes the
+    hot cell's whole GEMM through one task (OpenBLAS here is capped at 2
+    threads, like a real executor core slot); the split plan bounds each
+    task at ~max_cell_rows candidates. Outputs must be IDENTICAL (ties are
+    cut deterministically by nn_id, so even an all-ties hot cluster
+    reorders nothing)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from daily_journal_dataflow_qc_spark.operators.similarity import ivf_knn
+    from daily_journal_dataflow_qc_spark.session import get_spark
+
+    spark = get_spark(app_name="djdq-ivf-skew")
+    cores = spark.sparkContext.defaultParallelism
+    n_hot, n_bg, dim = 40960, 20000, 64
+    max_cell_rows = 4096
+
+    rng = np.random.default_rng(11)
+    hot_vec = [float(v) for v in rng.standard_normal(dim)]
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in hot_vec]).alias("embedding"),
+    )
+    bg = spark.range(n_hot, n_hot + n_bg).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2000)).cast("double")
+                - 1000.0
+            )
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    emb = hot.unionAll(bg).repartition(cores * 2, "vec_id").persist()
+    n_vecs = emb.count()
+
+    walls: dict[str, float] = {}
+    outs = {}
+    for name, mcr in (("ivf_unsplit", None), ("ivf_autosplit", max_cell_rows)):
+        t0 = time.time()
+        r = ivf_knn(
+            emb, n_probe=1, k=1, seed=7, n_rows_hint=n_vecs, max_cell_rows=mcr
+        ).persist()
+        n_out = r.count()
+        walls[name] = round(time.time() - t0, 2)
+        outs[name] = (r, n_out)
+
+    a, na = outs["ivf_unsplit"]
+    b, nb = outs["ivf_autosplit"]
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    print(
+        json.dumps(
+            {
+                "leg": "ivf_hot_cell_split",
+                "n_vecs": n_vecs,
+                "hot_cluster": n_hot,
+                "max_cell_rows": max_cell_rows,
+                "expected_sub_cells": -(-n_hot // max_cell_rows),
+                "walls": walls,
+                "rows": {"unsplit": na, "autosplit": nb},
+                "outputs_identical": bool(diff == 0 and na == nb),
+                "speedup": round(walls["ivf_unsplit"] / walls["ivf_autosplit"], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def chain_leg(replicas: int) -> None:
+    """End-to-end prepare_corpus chain wall (the round-5 ad-hoc measurement,
+    codified): same replica corpus as main(), eval set = one replica each
+    of 1% of the BASE docs (doc_id % (100*replicas) == 0 — i.e. rep 0 of
+    every 100th base doc), operator defaults throughout. NB the eval set
+    must be keyed to BASE texts: sampling 1% of REPLICA rows puts one
+    replica of EVERY base text into the eval corpus, and 8-gram
+    decontamination then rightly flags 100% of the corpus (survivors=0) —
+    measured, not hypothetical."""
+    import pyspark.sql.functions as F
+
+    from daily_journal_dataflow_qc_spark.operators.corpus import prepare_corpus
+    from daily_journal_dataflow_qc_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="djdq-corpus-chain")
+    cores = spark.sparkContext.defaultParallelism
+    base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    docs = (
+        base_docs.repartition(cores * 2, "doc_id")
+        .select("doc_id", "text", rep)
+        .select(
+            (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+            F.when(F.col("rep") % 10 == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.format_string(" rep%d tail", F.col("rep")))
+            )
+            .alias("text"),
+        )
+        .persist()
+    )
+    n_docs = docs.count()
+    eval_set = docs.filter(F.pmod("doc_id", F.lit(100 * replicas)) == 0).persist()
+    n_eval = eval_set.count()
+
+    t0 = time.time()
+    out = prepare_corpus(docs, eval_set).persist()
+    survivors = out.count()
+    wall = round(time.time() - t0, 2)
+    n_bins = out.select("split", "pack_shard", "pack_bin").distinct().count()
+    print(
+        json.dumps(
+            {
+                "leg": "prepare_corpus_chain",
+                "replicas": replicas,
+                "n_docs": n_docs,
+                "n_eval": n_eval,
+                "wall_sec": wall,
+                "survivors": survivors,
+                "pack_bins": n_bins,
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv:
+        skew_leg()
+    elif "--chain" in sys.argv:
+        rest = [a for a in sys.argv[1:] if a != "--chain"]
+        chain_leg(int(rest[0]) if rest else 100)
+    else:
+        main()

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from daily_journal_dataflow_qc_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    mixture_epochs,
+    mixture_sample,
     stratified_sample,
 )
 
@@ -64,6 +66,82 @@ def test_stratified_sample_exact_counts(spark):
     # a stratum smaller than n returns whole
     tiny = stratified_sample(d.filter("doc_id < 3"), "source", 7, "doc_id").count()
     assert tiny == 3
+
+
+EPOCHS = {"s0": 2.5, "s1": 1.0, "s2": 0.25, "s3": 0.0}
+
+
+def test_mixture_epochs_replication(spark):
+    """Multi-epoch mixture: floor(e) guaranteed copies + a deterministic
+    Bernoulli extra; e=1.0 is the identity, e=0 drops the source, e<=1
+    reduces EXACTLY to mixture_sample's kept set (same hash draw)."""
+    d = _docs(spark)
+    out = mixture_epochs(d, EPOCHS, default_epochs=0.5).toPandas()
+    n = out.groupby(["source", "doc_id"]).size()
+    # per-row copy count is floor(e) or floor(e)+1, never anything else
+    assert set(n.loc["s0"].unique()) <= {2, 3}
+    assert (n.loc["s1"] == 1).all()
+    assert set(n.loc["s2"].unique()) == {1}  # survivors of the 0.25 draw
+    assert "s3" not in out.source.values
+    assert set(n.loc["s4"].unique()) == {1}  # default_epochs=0.5 survivors
+    # epoch numbering is dense 0..n-1 per doc
+    mx = out.groupby("doc_id")["epoch"].agg(["min", "max", "size"])
+    assert (mx["min"] == 0).all()
+    assert ((mx["max"] + 1) == mx["size"]).all()
+    # per-source totals track e * |source| (800 docs each)
+    tot = out.groupby("source").size()
+    assert abs(tot["s0"] / 800 - 2.5) < 0.15
+    assert tot["s1"] == 800
+    assert abs(tot["s2"] / 800 - 0.25) < 0.1
+    # partition independence: identical (doc_id, epoch) multiset
+    a = mixture_epochs(d.repartition(3), EPOCHS, default_epochs=0.5)
+    b = mixture_epochs(d.repartition(17), EPOCHS, default_epochs=0.5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # e <= 1 everywhere == mixture_sample kept set, every epoch 0
+    rates = {"s0": 0.3, "s1": 0.8}
+    ep = mixture_epochs(d, rates).toPandas()
+    ms = mixture_sample(d, rates).toPandas()
+    assert (ep.epoch == 0).all()
+    assert sorted(ep.doc_id) == sorted(ms.doc_id)
+    with pytest.raises(ValueError, match="finite"):
+        mixture_epochs(d, {"s0": -1.0})
+
+
+def test_mixture_epochs_matches_duckdb(spark):
+    """The exploded frame reproduces bit-exactly in DuckDB (generate_series
+    over the same hash arithmetic) — replication is partition-independent
+    by construction, and the n_epochs driver-row column mirrors this."""
+    got = (
+        mixture_epochs(_docs(spark), EPOCHS, default_epochs=0.5)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        WITH d AS (SELECT range AS doc_id,
+                          's' || CAST(range % 5 AS VARCHAR) AS source
+                   FROM range(4000)),
+        b AS (SELECT doc_id, source,
+                     CAST(('0x' || substring(md5('mix:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS mb
+              FROM d),
+        c AS (SELECT doc_id, source,
+                     (CASE source WHEN 's0' THEN 2 WHEN 's1' THEN 1 ELSE 0 END)
+                     + CASE WHEN mb < (CASE source WHEN 's0' THEN 500000
+                                                   WHEN 's1' THEN 0
+                                                   WHEN 's2' THEN 250000
+                                                   WHEN 's3' THEN 0
+                                                   ELSE 500000 END)
+                            THEN 1 ELSE 0 END AS n
+              FROM b)
+        SELECT doc_id, source, CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
+        FROM c WHERE n > 0 ORDER BY doc_id, epoch
+        """
+    ).df()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.source.tolist() == want.source.tolist()
+    assert got.epoch.tolist() == want.epoch.tolist()
 
 
 def test_sampling_matches_duckdb_arithmetic(spark):
