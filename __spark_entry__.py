@@ -424,6 +424,7 @@ def q_minhash_signature(spark, sf):
     from daily_journal_dataflow_qc_spark.operators.dedup import contaminated_ids
     from daily_journal_dataflow_qc_spark.operators.packing import pack_sequences
     from daily_journal_dataflow_qc_spark.operators.sampling import (
+        dsir_logweights,
         hash_split,
         mixture_epochs,
         mixture_sample,
@@ -465,10 +466,16 @@ def q_minhash_signature(spark, sf):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("int").alias("_n_ep"))
     )
+    # (round 6) DSIR importance weight (operators/sampling.py: hashed
+    # unigram+bigram target-vs-raw log-likelihood ratio, add-0.01 over 10k
+    # buckets) against a deterministic target slice (doc_id % 10 == 0 — the
+    # "curated reference" stand-in); zero-feature docs coalesce to 0
+    dsir = dsir_logweights(d, d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0))
     return (
         packed.join(F.broadcast(flagged), "doc_id", "left")
         .join(F.broadcast(mixed), "doc_id", "left")
         .join(F.broadcast(epochs), "doc_id", "left")
+        .join(F.broadcast(dsir), "doc_id", "left")
         .select(
             "doc_id",
             *cols,
@@ -481,6 +488,7 @@ def q_minhash_signature(spark, sf):
             F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
             F.coalesce(F.col("_mix"), F.lit(False)).alias("mixture_kept"),
             F.coalesce(F.col("_n_ep"), F.lit(0)).alias("n_epochs"),
+            F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias("dsir_logweight"),
         )
     )
 
@@ -527,6 +535,7 @@ def q_text_analysis(spark, sf):
     from daily_journal_dataflow_qc_spark.operators.textanalysis import (
         dup_frac_of,
         lang_id,
+        ngram_lm_perplexity,
         ngram_list,
         tfidf_doc_scores,
         top_frac_of,
@@ -560,11 +569,20 @@ def q_text_analysis(spark, sf):
         top_frac_of(F.col("_gl2")).alias("top_2gram_frac"),
         dup_frac_of(F.col("_gl2")).alias("dup_2gram_frac"),
         dup_frac_of(F.col("_gl3")).alias("dup_3gram_frac"),
-    ).join(tfidf_doc_scores(_t(spark, sf, "documents")), "doc_id", "left").withColumns(
+    ).join(tfidf_doc_scores(_t(spark, sf, "documents")), "doc_id", "left").join(
+        # CCNet-style LM-quality signal: perplexity under the add-k bigram
+        # LM trained on this same corpus (self-train; train_df= for a
+        # reference corpus). Zero-token docs coalesce to 0.
+        ngram_lm_perplexity(_t(spark, sf, "documents")).drop("lm_tokens"),
+        "doc_id",
+        "left",
+    ).withColumns(
         {
             "tfidf_mean": F.coalesce("tfidf_mean", F.lit(0.0)),
             "tfidf_max": F.coalesce("tfidf_max", F.lit(0.0)),
             "n_unique_terms": F.coalesce("n_unique_terms", F.lit(0)).cast("long"),
+            "lm_logprob": F.coalesce("lm_logprob", F.lit(0.0)),
+            "lm_ppl": F.coalesce("lm_ppl", F.lit(0.0)),
         }
     )
 
@@ -1550,6 +1568,38 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(w, x -> x IN ({stop_es}))) AS es,
                        len(list_filter(w, x -> x IN ({stop_fr}))) AS fr
                 FROM b
+            ), lmw AS (
+                SELECT doc_id, list_filter(w, x -> x != '') AS fw FROM b0
+            ), lev AS (
+                SELECT doc_id,
+                       CASE WHEN i = 1 THEN '<s>' ELSE fw[i-1] END AS prev,
+                       fw[i] AS cur
+                FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw))) AS i
+                      FROM lmw WHERE len(fw) >= 1)
+            ), lbg AS (
+                SELECT prev, cur, COUNT(*) AS cpc FROM lev GROUP BY prev, cur
+            ), lcx AS (
+                SELECT prev, SUM(cpc) AS cp FROM lbg GROUP BY prev
+            ), lv AS (
+                SELECT COUNT(DISTINCT cur) AS v FROM lbg
+            ), lmsc AS (
+                -- add-k bigram LM self-trained on the corpus (k = 0.1),
+                -- mirror of operators/textanalysis.ngram_lm_perplexity
+                -- k cast to DOUBLE: a bare 0.1 is DuckDB DECIMAL (exact
+                -- base-10), which would diverge from Spark's binary double
+                SELECT lev.doc_id,
+                       round(SUM(ln((COALESCE(lbg.cpc, 0) + CAST(0.1 AS DOUBLE))
+                                    / (COALESCE(lcx.cp, 0)
+                                       + CAST(0.1 AS DOUBLE) * (lv.v + 1)))), 4)
+                           AS lm_logprob,
+                       round(exp(-SUM(ln((COALESCE(lbg.cpc, 0) + CAST(0.1 AS DOUBLE))
+                                         / (COALESCE(lcx.cp, 0)
+                                            + CAST(0.1 AS DOUBLE) * (lv.v + 1))))
+                                 / COUNT(*)), 4) AS lm_ppl
+                FROM lev LEFT JOIN lbg ON lev.prev = lbg.prev AND lev.cur = lbg.cur
+                         LEFT JOIN lcx ON lev.prev = lcx.prev
+                         CROSS JOIN lv
+                GROUP BY lev.doc_id
             )
             SELECT b.doc_id,
                    CAST(length(lc) AS BIGINT) AS n_chars,
@@ -1572,9 +1622,12 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - len(list_distinct(gl3)) / len(gl3), 4) AS dup_3gram_frac,
                    COALESCE(tfi.tfidf_mean, 0.0) AS tfidf_mean,
                    COALESCE(tfi.tfidf_max, 0.0) AS tfidf_max,
-                   CAST(COALESCE(tfi.n_unique_terms, 0) AS BIGINT) AS n_unique_terms
+                   CAST(COALESCE(tfi.n_unique_terms, 0) AS BIGINT) AS n_unique_terms,
+                   COALESCE(lmsc.lm_logprob, 0.0) AS lm_logprob,
+                   COALESCE(lmsc.lm_ppl, 0.0) AS lm_ppl
             FROM b JOIN sc ON b.doc_id = sc.doc_id JOIN m2 ON b.doc_id = m2.doc_id
                  LEFT JOIN tfi ON b.doc_id = tfi.doc_id
+                 LEFT JOIN lmsc ON b.doc_id = lmsc.doc_id
         """,
         # lsh_bucketed_ann: planes are seeded-deterministic -> full relational
         # mirror with the planes embedded as SQL literals
@@ -2263,16 +2316,51 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT tr.doc_id
                 FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE split <> 'test') tr
                 JOIN tg USING (g)
+            ), dw AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), x -> x != '') AS fw
+                FROM documents
+            ), dfeat AS (
+                -- DSIR hashed features: unigrams + bigrams -> 10k buckets
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5('dsir:' || f), 1, 15)) AS BIGINT)
+                           % 10000 AS bk
+                FROM (
+                    SELECT doc_id, unnest(fw) AS f FROM dw
+                    UNION ALL
+                    SELECT doc_id, fw[i] || ' ' || fw[i+1] AS f
+                    FROM (SELECT doc_id, fw,
+                                 unnest(generate_series(1, len(fw) - 1)) AS i
+                          FROM dw WHERE len(fw) >= 2)
+                )
+            ), dtc AS (
+                SELECT bk, COUNT(*) AS ct FROM dfeat WHERE doc_id % 10 = 0 GROUP BY bk
+            ), drc AS (
+                SELECT bk, COUNT(*) AS cr FROM dfeat GROUP BY bk
+            ), dtt AS (SELECT SUM(ct) AS tt FROM dtc
+            ), drt AS (SELECT SUM(cr) AS rt FROM drc
+            ), dsir AS (
+                -- add-alpha (0.01, double) target-vs-raw log-likelihood ratio
+                SELECT dfeat.doc_id,
+                       round(SUM(
+                           ln((COALESCE(dtc.ct, 0) + CAST(0.01 AS DOUBLE))
+                              / (dtt.tt + CAST(0.01 AS DOUBLE) * 10000))
+                         - ln((COALESCE(drc.cr, 0) + CAST(0.01 AS DOUBLE))
+                              / (drt.rt + CAST(0.01 AS DOUBLE) * 10000))), 4)
+                           AS dsir_logweight
+                FROM dfeat LEFT JOIN dtc USING (bk) LEFT JOIN drc USING (bk)
+                     CROSS JOIN dtt CROSS JOIN drt
+                GROUP BY dfeat.doc_id
             )
-            SELECT doc_id, mh0, mh1, mh2, mh3, split,
+            SELECT c.doc_id, mh0, mh1, mh2, mh3, split,
                    sb < 100000 AS in_sample_10pct,
-                   CAST(row_number() OVER (PARTITION BY source ORDER BY tb, doc_id) AS INT) AS stratum_rank,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY tb, c.doc_id) AS INT) AS stratum_rank,
                    pack_shard,
                    CAST(FLOOR(cum / 256) AS INT) AS pack_bin,
                    CAST(row_number() OVER (
                        PARTITION BY pack_shard, CAST(FLOOR(cum / 256) AS INT)
-                       ORDER BY ph, doc_id) AS INT) AS pack_pos,
-                   doc_id IN (SELECT doc_id FROM fl) AS contaminated,
+                       ORDER BY ph, c.doc_id) AS INT) AS pack_pos,
+                   c.doc_id IN (SELECT doc_id FROM fl) AS contaminated,
                    mb < (CASE source WHEN 'src0' THEN 900000
                                      WHEN 'src1' THEN 500000
                                      WHEN 'src2' THEN 100000
@@ -2284,8 +2372,9 @@ def oracle_sql() -> dict[str, str]:
                                                       WHEN 'src1' THEN 0
                                                       WHEN 'src2' THEN 250000
                                                       ELSE 500000 END)
-                               THEN 1 ELSE 0 END AS INT) AS n_epochs
-            FROM c
+                               THEN 1 ELSE 0 END AS INT) AS n_epochs,
+                   COALESCE(dsir.dsir_logweight, 0.0) AS dsir_logweight
+            FROM c LEFT JOIN dsir ON c.doc_id = dsir.doc_id
         """,
         "embedding_nn": """
             WITH nn AS (

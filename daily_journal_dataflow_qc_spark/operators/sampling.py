@@ -196,6 +196,131 @@ def mixture_epochs(
     )
 
 
+def _hashed_ngram_events(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, seed: str
+) -> DataFrame:
+    """(id, bucket) hashed-feature events: word unigrams + bigrams (the DSIR
+    feature space) through the portable hash into ``n_buckets``. Literal-space
+    split with empties dropped; docs under 2 words emit unigrams only.
+    Pure projection + one explode — no shuffle until the caller aggregates."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != "")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.concat(words, bigrams)).alias("_feat")
+    ).select(
+        id_col,
+        F.pmod(seeded_hash(F.col("_feat"), f"{seed}:"), F.lit(n_buckets)).alias(
+            "_bucket"
+        ),
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 0.01,
+    seed: str = "dsir",
+    weight_col: str = "dsir_logweight",
+) -> DataFrame:
+    """Per-doc log importance weight for Data Selection via Importance
+    Resampling (Xie et al. 2023; public method): fit hashed-n-gram
+    bag-of-words distributions on a TARGET (high-quality reference) corpus
+    and on the RAW corpus, then weight every raw doc by
+    ``sum_b n_doc[b] * (ln p_target[b] - ln p_raw[b])`` — docs whose
+    feature profile looks like the target score high. Distributions are
+    add-alpha smoothed over the ``n_buckets`` hash buckets, so zero-count
+    buckets are well-defined in both corpora. Deterministic: portable-hash
+    features, counts, and logs only.
+
+    Output: (id_col, weight_col) — zero-feature docs are absent (callers
+    left-join, same convention as the other doc-grain scorers).
+
+    Distributed shape: two bucket-keyed count shuffles (target + raw; both
+    map-side combined, output <= n_buckets rows each), each DENSIFIED
+    against range(n_buckets) with its corpus total attached by a window
+    over the 10k-row table — so every corpus is scanned EXACTLY once (a
+    separate ``.agg(sum)`` total would duplicate the whole count subtree,
+    i.e. a second full-corpus pass, because nothing is cached), and the
+    join-back onto the exploded raw docs is a plain inner broadcast with
+    no crossJoin and no null-bucket edge case. The bucket tables are
+    bounded by construction (n_buckets, not vocabulary), so the broadcast
+    NEVER outgrows the hint — hashing is what makes DSIR's statistics
+    O(1) in corpus size."""
+    if n_buckets < 2:
+        raise ValueError("dsir_logweights: n_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("dsir_logweights: alpha must be > 0 (smoothing)")
+    events = _hashed_ngram_events(df, text_col, id_col, n_buckets, seed)
+
+    def dist(e: DataFrame, name: str) -> DataFrame:
+        c = e.groupBy("_bucket").agg(F.count("*").alias(f"_c_{name}"))
+        dense = (
+            df.sparkSession.range(n_buckets)
+            .select(F.col("id").alias("_bucket"))
+            .join(c, ["_bucket"], "left")
+            .select(
+                "_bucket",
+                F.coalesce(F.col(f"_c_{name}"), F.lit(0)).alias(f"_c_{name}"),
+            )
+            .withColumn(
+                f"_t_{name}", F.sum(f"_c_{name}").over(Window.partitionBy())
+            )
+        )
+        return F.broadcast(dense)
+
+    tdist = dist(
+        _hashed_ngram_events(target_df, text_col, id_col, n_buckets, seed), "t"
+    )
+    rdist = dist(events, "r")
+    contrib = F.log(
+        (F.col("_c_t") + alpha) / (F.col("_t_t") + alpha * n_buckets)
+    ) - F.log((F.col("_c_r") + alpha) / (F.col("_t_r") + alpha * n_buckets))
+    return (
+        events.join(tdist, ["_bucket"])
+        .join(rdist, ["_bucket"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 4).alias(weight_col))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 0.01,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR's Gumbel-top-k resample, made deterministic: draw each doc's
+    Gumbel noise from its portable hash (u = (bucket + 0.5)/B, g =
+    -ln(-ln u)) and keep the ``n`` largest ``logweight + g`` — an exact
+    sample-without-replacement from the softmax of the importance weights
+    (the published Gumbel-top-k identity), reproducible under any
+    partitioning. One global top-n (TakeOrdered — no full sort
+    materializes) on top of ``dsir_logweights``'s shape."""
+    lw = dsir_logweights(df, target_df, text_col, id_col, n_buckets, alpha, seed)
+    u = (_bucket(F.col(id_col).cast("string"), f"{seed}:gumbel:") + 0.5) / _BUCKETS
+    g = -F.log(-F.log(u))
+    return (
+        df.join(lw, id_col)
+        .withColumn("_gumbel_key", F.col("dsir_logweight") + g)
+        .orderBy(F.col("_gumbel_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_gumbel_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -217,6 +217,99 @@ def tfidf_doc_scores(
     )
 
 
+def _bigram_events(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, prev, cur) bigram events with a BOS context: position 1 pairs
+    ``<s>`` with the first token, position i pairs token i-1 with token i.
+    Tokens are the literal-space split with empties dropped (the corpus
+    tokenization every other text operator here uses). Zero-token docs emit
+    no events (callers left-join). Pure projection + one posexplode — no
+    shuffle until the caller aggregates."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(words)),
+        lambda i: F.struct(
+            F.when(i == 1, F.lit("<s>"))
+            .otherwise(F.element_at(words, (i - 1).cast("int")))
+            .alias("prev"),
+            F.element_at(words, i.cast("int")).alias("cur"),
+        ),
+    )
+    return (
+        df.where(F.size(words) >= 1)
+        .select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(id_col, F.col("_bg.prev").alias("prev"), F.col("_bg.cur").alias("cur"))
+    )
+
+
+def ngram_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    k: float = 0.1,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-doc perplexity under an add-k-smoothed bigram LM trained on
+    ``train_df`` (default: the scored corpus itself) — the CCNet-style
+    LM-quality filter for training data (Wenzek et al. 2020: score web text
+    with a reference LM, keep/bucket by perplexity; public method. The
+    reference engine has no LM tier — this is graft-side training-data
+    surface, like the rest of this module).
+
+    Model: P(cur|prev) = (c(prev,cur) + k) / (c(prev) + k*(V+1)) with V =
+    distinct training vocabulary (the +1 reserves one smoothing slot for
+    unseen words); an unseen context backs off to the uniform 1/(V+1).
+    Deterministic — counts and logs only, no sampling.
+
+    Output: (id_col, lm_tokens, lm_logprob, lm_ppl) where lm_logprob =
+    sum ln P over the doc's bigram events (BOS-anchored, so every token is
+    scored) and lm_ppl = exp(-lm_logprob / lm_tokens). Zero-token docs are
+    absent (callers left-join, same convention as tfidf_doc_scores).
+
+    Distributed shape: training is ONE (prev,cur)-keyed shuffle (map-side
+    combined count) into a PERSISTED LM table — the train-once/apply-once
+    cache every "fit a model, then score with it" pipeline needs, because
+    the context totals and the vocab scalar both derive from the bigram
+    table and would otherwise each re-execute the whole count subtree
+    (i.e. a full extra corpus pass per consumer; Spark only dedupes
+    identical subtrees through a cache). The LM is bounded by the
+    distinct-bigram count, not the corpus — the same Heaps'-law argument
+    that lets ``broadcast_lm`` default True — and persist() is
+    MEMORY_AND_DISK, so an unusually fat vocabulary spills instead of
+    OOMing. Scoring explodes the scored docs once and joins the LM back:
+    2 corpus passes total (count + score). At web scale with an unpruned
+    vocabulary pass ``broadcast_lm=False`` and let the (prev,cur) join
+    shuffle — the doc-grain agg stays one shuffle either way. The cached
+    LM lives until the SparkSession drops it (LRU) — callers scoring many
+    corpora against one reference LM amortize it by construction."""
+    events = _bigram_events(df, text_col, id_col)
+    train_events = (
+        events if train_df is None else _bigram_events(train_df, text_col, id_col)
+    )
+    bigrams = train_events.groupBy("prev", "cur").agg(
+        F.count("*").alias("_cpc")
+    ).persist()
+    contexts = bigrams.groupBy("prev").agg(F.sum("_cpc").alias("_cp"))
+    vocab = bigrams.select(F.countDistinct("cur").alias("_v"))
+    if broadcast_lm:
+        bigrams, contexts = F.broadcast(bigrams), F.broadcast(contexts)
+    logp = F.log(
+        (F.coalesce(F.col("_cpc"), F.lit(0)) + k)
+        / (F.coalesce(F.col("_cp"), F.lit(0)) + k * (F.col("_v") + 1))
+    )
+    return (
+        events.join(bigrams, ["prev", "cur"], "left")
+        .join(contexts, ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("lm_tokens"),
+            F.round(F.sum(logp), 4).alias("lm_logprob"),
+            F.round(F.exp(-F.sum(logp) / F.count("*")), 4).alias("lm_ppl"),
+        )
+    )
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = quality_metrics(df, text_col)
     out = token_counts(out, text_col)

@@ -299,14 +299,19 @@ def test_similarity_ivf_plan_shape(spark):
 def test_assignments_row_plan_shape(spark):
     """Scale pins for the doc-grain assignments row (minhash_signature =
     signatures + sampling + packing + decontamination + mixture flag +
-    multi-epoch counts): every join is a broadcast (the test-gram
-    semi-join and the flagged-ids / mixture-kept / n-epochs outer joins —
-    never SortMergeJoin/cartesian), no Python anywhere, and the only
-    exchanges are the two window partitionings (stratum source, pack
-    shard), the flagged-id distinct, and the n_epochs doc-grain
-    re-aggregation (the price of hash-checking mixture_epochs END-TO-END
-    through its explode; the mixture flag itself is a pure projection
-    predicate on the same scan — broadcast, NOT a shuffle)."""
+    multi-epoch counts + DSIR log-weight): every join is a broadcast (the
+    test-gram semi-join, the flagged-ids / mixture-kept / n-epochs / dsir
+    outer joins, and DSIR's dense-bucket join-backs — never
+    SortMergeJoin/cartesian), no Python anywhere, and the only exchanges
+    are the two window partitionings (stratum source, pack shard), the
+    flagged-id distinct, the n_epochs doc-grain re-aggregation (the price
+    of hash-checking mixture_epochs END-TO-END through its explode; the
+    mixture flag itself is a pure projection predicate on the same scan —
+    broadcast, NOT a shuffle), and DSIR's shape: exactly ONE bucket-keyed
+    count exchange per corpus (a regression to the duplicated
+    count-subtree total — a second full-corpus pass — shows up here as a
+    4th/5th bucket exchange), two 10k-row SinglePartition window totals,
+    and the doc-grain weight agg."""
     import os
 
     import __spark_entry__ as entry_mod
@@ -322,13 +327,19 @@ def test_assignments_row_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan  # Batch- and ArrowEvalPython
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("BroadcastHashJoin") == 4, plan
+    assert final.count("BroadcastHashJoin") == 9, plan
     n_shuffles = sum(
         1
         for l in final.splitlines()
         if "Exchange" in l and "BroadcastExchange" not in l
     )
-    assert n_shuffles <= 5, plan
+    assert n_shuffles <= 10, plan
+    n_bucket_shuffles = sum(
+        1
+        for l in final.splitlines()
+        if "Exchange hashpartitioning(_bucket" in l
+    )
+    assert n_bucket_shuffles == 2, plan
 
 
 def test_prepare_corpus_composed_plan_shape(spark):
@@ -384,11 +395,16 @@ def test_prepare_corpus_composed_plan_shape(spark):
 
 def test_text_analysis_row_plan_shape(spark):
     """Scale pins for the doc-grain analysis row (text_analysis = quality/
-    repetition projections + the TF-IDF corpus round-trip): no Python, no
-    SortMergeJoin/cartesian; the only nested-loop join is the legitimate
-    1-row corpus-count broadcast, and the exchange count stays at the
-    corpus-stats shape (term counts, doc length, doc frequency, join-back,
-    final doc agg) — a rewrite that silently doubles it fails here."""
+    repetition projections + the TF-IDF corpus round-trip + the bigram-LM
+    perplexity pass): no Python, no SortMergeJoin/cartesian; the only
+    nested-loop joins are the legitimate 1-row broadcasts (corpus count,
+    LM vocab), and the exchange count stays at the corpus-stats shape
+    (term counts, doc length, doc frequency, join-back, final doc aggs) —
+    a rewrite that silently doubles it fails here. The LM contributes
+    exactly ONE (prev,cur) count exchange: context totals and vocab read
+    the persisted LM table (InMemoryTableScan), so a regression that
+    re-derives the count subtree per consumer — a full extra corpus pass
+    each — shows up as a 2nd/3rd bigram exchange."""
     import os
 
     import __spark_entry__ as entry_mod
@@ -403,10 +419,17 @@ def test_text_analysis_row_plan_shape(spark):
     assert "SortMergeJoin" not in final, plan
     assert "CartesianProduct" not in final, plan
     assert "EvalPython" not in final, plan
-    assert final.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert final.count("BroadcastNestedLoopJoin") <= 2, plan
     n_shuffles = sum(
         1
         for l in final.splitlines()
         if "Exchange" in l and "BroadcastExchange" not in l
     )
-    assert n_shuffles <= 9, plan
+    assert n_shuffles <= 10, plan
+    n_bigram_shuffles = sum(
+        1
+        for l in final.splitlines()
+        if "Exchange hashpartitioning(prev" in l
+    )
+    assert n_bigram_shuffles == 1, plan
+    assert "InMemoryTableScan" in final, plan

@@ -171,3 +171,99 @@ def test_sampling_matches_duckdb_arithmetic(spark):
     ).df()
     assert got.doc_id.tolist() == want.doc_id.tolist()
     assert got.split.tolist() == want.split.tolist()
+
+
+def _dsir_mirror(raw_texts, target_texts, n_buckets=64, alpha=0.01):
+    """Counter-based mirror of dsir_logweights: {doc_id: logweight}."""
+    import math
+    from collections import Counter
+
+    from daily_journal_dataflow_qc_spark.functions.hashing import py_hex_hash
+
+    def feats(t):
+        w = [x for x in t.lower().split(" ") if x]
+        grams = w + [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        return [py_hex_hash(g, "dsir:") % n_buckets for g in grams]
+
+    tc, rc = Counter(), Counter()
+    for t in target_texts.values():
+        tc.update(feats(t))
+    for t in raw_texts.values():
+        rc.update(feats(t))
+    tt, rt = sum(tc.values()), sum(rc.values())
+    out = {}
+    for i, t in raw_texts.items():
+        fs = feats(t)
+        if not fs:
+            continue
+        lw = sum(
+            math.log((tc.get(b, 0) + alpha) / (tt + alpha * n_buckets))
+            - math.log((rc.get(b, 0) + alpha) / (rt + alpha * n_buckets))
+            for b in fs
+        )
+        out[i] = round(lw, 4)
+    return out
+
+
+def test_dsir_logweights_matches_python_mirror(spark):
+    """Spark DSIR log importance weights == a Counter mirror of the same
+    hashed-bigram add-alpha arithmetic; target-like docs outrank raw-like
+    ones; zero-feature docs are absent."""
+    from daily_journal_dataflow_qc_spark.operators.sampling import dsir_logweights
+
+    target = {100: "formal prose with careful structure", 101: "formal careful writing"}
+    raw = {
+        0: "formal prose with careful structure",  # = a target doc
+        1: "click here buy now cheap pills",  # spam-ish, unlike target
+        2: "formal careful prose",
+        3: "",  # zero features -> absent
+    }
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(raw), "text": list(raw.values())})
+    )
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(target), "text": list(target.values())})
+    )
+    got = (
+        dsir_logweights(rdf, tdf, n_buckets=64)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 3 not in got.index
+    exp = _dsir_mirror(raw, target)
+    for i, lw in exp.items():
+        assert got.loc[i, "dsir_logweight"] == pytest.approx(lw, abs=2e-4)
+    assert got.loc[0, "dsir_logweight"] > got.loc[1, "dsir_logweight"]
+
+
+def test_dsir_select_deterministic_across_partitioning(spark):
+    """Gumbel-top-k selection is reproducible under any input partitioning
+    (hash-derived noise, not per-partition RNG) and returns exactly n rows
+    biased toward the target distribution."""
+    from daily_journal_dataflow_qc_spark.operators.sampling import dsir_select
+
+    texts = {}
+    for i in range(40):
+        texts[i] = (
+            "formal prose with careful structure and measured argument"
+            if i % 4 == 0
+            else f"random noise token{i} click buy now cheap offer {i}"
+        )
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    tdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [100], "text": ["formal prose with careful measured structure"]}
+        )
+    )
+    a = sorted(r.doc_id for r in dsir_select(rdf, tdf, 8, n_buckets=64).collect())
+    b = sorted(
+        r.doc_id
+        for r in dsir_select(rdf.repartition(7), tdf, 8, n_buckets=64).collect()
+    )
+    assert a == b
+    assert len(a) == 8
+    # the target-like quarter (doc_id % 4 == 0) dominates the selection
+    assert sum(1 for i in a if i % 4 == 0) >= 6

@@ -739,3 +739,96 @@ def test_tfidf_doc_scores_matches_pandas(spark):
         assert got.loc[i, "tfidf_mean"] == round(sum(ws) / len(ws), 4)
         assert got.loc[i, "tfidf_max"] == round(max(ws), 4)
         assert got.loc[i, "n_unique_terms"] == len(c)
+
+
+def _lm_mirror(train_texts, score_texts, k=0.1):
+    """Pure-Python mirror of the add-k bigram LM: returns
+    {doc_id: (n_tokens, logprob, ppl)} rounded like the operator."""
+    import math
+    from collections import Counter
+
+    def events(t):
+        w = [x for x in t.lower().split(" ") if x]
+        return list(zip(["<s>"] + w[:-1], w))
+
+    bg = Counter()
+    for t in train_texts.values():
+        bg.update(events(t))
+    cp = Counter()
+    for (p, _), c in bg.items():
+        cp[p] += c
+    v = len(set(c for _, c in bg))
+    out = {}
+    for i, t in score_texts.items():
+        ev = events(t)
+        if not ev:
+            continue
+        lp = sum(
+            math.log((bg.get(e, 0) + k) / (cp.get(e[0], 0) + k * (v + 1)))
+            for e in ev
+        )
+        out[i] = (len(ev), round(lp, 4), round(math.exp(-lp / len(ev)), 4))
+    return out
+
+
+def test_ngram_lm_perplexity_matches_python_mirror(spark):
+    """Self-trained bigram-LM perplexity == a Counter-based mirror of the
+    same add-k formula; zero-token docs are absent; an in-distribution
+    repetitive doc scores lower ppl than an OOV doc."""
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        ngram_lm_perplexity,
+    )
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the mat",  # duplicate -> its bigrams dominate
+        2: "the cat sat on the log",
+        3: "zork blib quux flarn",  # fully OOV vs the cat sentences
+        4: "",  # zero tokens -> absent
+        5: "solo",  # single token: one (<s>, solo) event
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    got = (
+        ngram_lm_perplexity(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 4 not in got.index
+    exp = _lm_mirror(texts, texts)
+    for i, (n, lp, ppl) in exp.items():
+        assert got.loc[i, "lm_tokens"] == n
+        assert got.loc[i, "lm_logprob"] == pytest.approx(lp, abs=2e-4)
+        assert got.loc[i, "lm_ppl"] == pytest.approx(ppl, rel=1e-4)
+    # the duplicated in-distribution sentence is far more predictable than
+    # the OOV one under the corpus LM
+    assert got.loc[0, "lm_ppl"] < got.loc[3, "lm_ppl"]
+
+
+def test_ngram_lm_perplexity_reference_train_df(spark):
+    """CCNet shape: train on a reference corpus, score a different frame —
+    training counts must come from train_df only (a doc absent from the
+    reference scores as OOV)."""
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        ngram_lm_perplexity,
+    )
+
+    train = {10: "good clean reference text", 11: "good clean reference prose"}
+    score = {0: "good clean reference text", 1: "totally alien tokens here"}
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(train), "text": list(train.values())})
+    )
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(score), "text": list(score.values())})
+    )
+    got = (
+        ngram_lm_perplexity(sdf, train_df=tdf, broadcast_lm=False)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    exp = _lm_mirror(train, score)
+    for i, (n, lp, ppl) in exp.items():
+        assert got.loc[i, "lm_tokens"] == n
+        assert got.loc[i, "lm_logprob"] == pytest.approx(lp, abs=2e-4)
+    assert got.loc[0, "lm_ppl"] < got.loc[1, "lm_ppl"]
