@@ -394,12 +394,45 @@ def q_text_metrics(spark, sf):
 
 
 def q_dedup_exact_docs(spark, sf):
-    # training-data op: exact dedup via content hash, per source
+    # training-data DEDUP-tier source-grain row (cap: 50 — same-grain
+    # merge): exact dedup via content hash, per source, PLUS (round 6) the
+    # substring-level dedup family (operators/dedup.py duplicate_spans /
+    # remove_duplicate_spans — Lee et al. 2022): total maximal duplicate
+    # >=8-token spans, their token mass, docs touched, and the summed
+    # length of the span-removed text. cleaned_chars pins the HOF token
+    # filter + re-join end-to-end (the DuckDB mirror rebuilds kept-token
+    # char sums relationally), so both detection AND removal are
+    # hash-checked. Also carries dedup_lines (C4-style line-level dedup,
+    # sep='\n' — the synthetic docs are single-line, so each duplicated
+    # doc loses its one line: removal accounting differs from n_dupes,
+    # which keeps one copy) as removed_lines / line_cleaned_chars.
+    from daily_journal_dataflow_qc_spark.operators.dedup import (
+        dedup_lines,
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
     d = _t(spark, sf, "documents")
-    return d.groupBy("source").agg(
+    lines = dedup_lines(d).select(
+        "doc_id",
+        F.col("n_removed_lines").alias("_rl"),
+        F.length("cleaned_text").alias("_lc"),
+    )
+    cleaned = remove_duplicate_spans(d, duplicate_spans(d, k=8)).join(
+        lines, "doc_id"
+    )
+    return cleaned.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
         (F.count("*") - F.countDistinct(F.md5(F.col("text")))).alias("n_dupes"),
+        F.sum("n_dup_spans").cast("long").alias("dup_spans"),
+        F.sum("dup_tokens").cast("long").alias("dup_span_tokens"),
+        F.sum((F.col("n_dup_spans") > 0).cast("int")).cast("long").alias(
+            "docs_with_dup_spans"
+        ),
+        F.sum(F.length("cleaned_text")).cast("long").alias("cleaned_chars"),
+        F.sum("_rl").cast("long").alias("removed_lines"),
+        F.sum("_lc").cast("long").alias("line_cleaned_chars"),
     )
 
 
@@ -646,11 +679,36 @@ def q_near_dup_pairs(spark, sf):
 
 
 def q_simhash_docs(spark, sf):
-    # training-data op: 16-bit simhash per document
+    # training-data doc-grain row (cap: 50 — same-grain merge): 16-bit
+    # simhash per document PLUS (round 6) the global token-budget selection
+    # (operators/sampling.py select_by_token_budget): rows ordered by a
+    # stopword-density quality score, kept while the running token total
+    # fits a budget of half the corpus tokens. The DuckDB mirror computes
+    # the SAME rule with the naive global cumulative-sum window, so the
+    # bucketed two-pass plan (which avoids that single-partition window at
+    # scale) is hash-checked equivalent to its specification.
     from daily_journal_dataflow_qc_spark.operators.dedup import simhash
+    from daily_journal_dataflow_qc_spark.operators.sampling import (
+        select_by_token_budget,
+    )
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", simhash(F.lower(F.col("text")), 16).alias("simhash"))
+    lc = F.lower(F.col("text"))
+    wds = F.split(lc, " ", -1)
+    scored = d.select(
+        "doc_id",
+        simhash(lc, 16).alias("simhash"),
+        F.round(
+            F.size(F.filter(wds, lambda x: x.isin("the", "a", "of", "and", "to")))
+            / F.size(wds),
+            6,
+        ).alias("q_score"),
+        F.size(wds).cast("long").alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    return select_by_token_budget(
+        scored, int(total) // 2, "q_score", "n_tokens", id_col="doc_id"
+    )
 
 
 def q_ngram_jaccard_adjacent(spark, sf):
@@ -1524,8 +1582,26 @@ def oracle_sql() -> dict[str, str]:
                        list_transform({words},
                            x -> CAST(('0x' || substring(md5('sim:' || x), 1, 15)) AS BIGINT)) AS hs
                 FROM documents
+            ),
+            sc AS (
+                SELECT doc_id,
+                       round(len(list_filter({words},
+                                 x -> x IN ('the','a','of','and','to')))
+                             / len({words}), 6) AS q_score,
+                       CAST(len({words}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, q_score, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY q_score DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+                FROM sc
             )
-            SELECT doc_id, CAST({simhash_terms} AS BIGINT) AS simhash FROM h
+            SELECT h.doc_id, CAST({simhash_terms} AS BIGINT) AS simhash,
+                   cum.q_score, cum.n_tokens,
+                   cum.c <= (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 FROM sc)
+                     AS budget_kept
+            FROM h JOIN cum USING (doc_id)
         """,
         "ngram_jaccard_adjacent": f"""
             WITH sh AS (SELECT doc_id, {shingles} AS s FROM documents)
@@ -2283,9 +2359,88 @@ def oracle_sql() -> dict[str, str]:
             ) ch USING (doc_id)
         """,
         "dedup_exact_docs": """
-            SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
-                   count(*) - count(DISTINCT md5(text)) AS n_dupes
-            FROM documents GROUP BY source
+            WITH w AS (
+              SELECT doc_id, source, text, string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS gram
+              FROM w, UNNEST(range(1, len(toks) - 6)) AS u(p)
+              WHERE len(toks) >= 8
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            fl AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+            isl AS (
+              SELECT doc_id, p,
+                     CASE WHEN p > coalesce(max(p + 7) OVER (
+                            PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM fl
+            ),
+            spans AS (
+              SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+              FROM (SELECT doc_id, p, sum(ni) OVER (
+                      PARTITION BY doc_id ORDER BY p) AS island FROM isl)
+              GROUP BY doc_id, island
+            ),
+            doc_spans AS (
+              SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            ),
+            tok AS (
+              SELECT w.doc_id, u.p, w.toks[u.p] AS t
+              FROM w, UNNEST(range(1, len(w.toks) + 1)) AS u(p)
+            ),
+            -- spans are disjoint per doc, so this LEFT JOIN never fans out;
+            -- cleaned length = kept-token chars + (n_kept - 1) join spaces
+            kept AS (
+              SELECT tok.doc_id,
+                     coalesce(sum(CASE WHEN sp.doc_id IS NULL THEN len(tok.t) END), 0)
+                       + greatest(count(CASE WHEN sp.doc_id IS NULL THEN 1 END) - 1, 0)
+                       AS cleaned_len
+              FROM tok LEFT JOIN spans sp
+                ON sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.s AND sp.e
+              GROUP BY tok.doc_id
+            ),
+            lnn AS (
+              SELECT doc_id, u.p, ls[u.p] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM documents) q,
+                   UNNEST(range(1, len(ls) + 1)) AS u(p)
+            ),
+            ldup AS (SELECT line FROM lnn GROUP BY line HAVING count(*) >= 2),
+            lkept AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS lct,
+                     count(*) AS nk
+              FROM lnn WHERE line NOT IN (SELECT line FROM ldup)
+              GROUP BY doc_id
+            ),
+            per_doc AS (
+              SELECT w.source, w.text,
+                     coalesce(ds.n_dup_spans, 0) AS n_dup_spans,
+                     coalesce(ds.dup_tokens, 0) AS dup_tokens,
+                     k.cleaned_len,
+                     len(string_split(w.text, chr(10))) - coalesce(lk.nk, 0) AS rl,
+                     len(coalesce(lk.lct, '')) AS lc
+              FROM w
+              LEFT JOIN doc_spans ds USING (doc_id)
+              JOIN kept k USING (doc_id)
+              LEFT JOIN lkept lk USING (doc_id)
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct,
+                   count(*) - count(DISTINCT md5(text)) AS n_dupes,
+                   CAST(sum(n_dup_spans) AS BIGINT) AS dup_spans,
+                   CAST(sum(dup_tokens) AS BIGINT) AS dup_span_tokens,
+                   CAST(sum(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS docs_with_dup_spans,
+                   CAST(sum(cleaned_len) AS BIGINT) AS cleaned_chars,
+                   CAST(sum(rl) AS BIGINT) AS removed_lines,
+                   CAST(sum(lc) AS BIGINT) AS line_cleaned_chars
+            FROM per_doc
+            GROUP BY source
         """,
         "minhash_signature": f"""
             WITH b AS (

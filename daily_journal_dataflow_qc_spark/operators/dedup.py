@@ -22,6 +22,19 @@ portable md5-prefix hash so every operator is oracle-checkable in DuckDB.
 * ``contaminated_ids`` / ``decontaminate`` — n-gram test-set decontamination
                              (train docs sharing any k-shingle with the test
                              corpus; broadcast semi-join on the test grams).
+* ``dedup_lines``          — LINE-level dedup (C4 / RefinedWeb practice,
+                             public): drop every line whose exact content
+                             occurs >= min_count times corpus-wide,
+                             reassemble the survivors in order.
+* ``duplicate_spans`` / ``remove_duplicate_spans`` — SUBSTRING-level dedup
+                             (Lee et al. 2022, "Deduplicating Training Data
+                             Makes Language Models Better" — public method):
+                             token spans of >= k tokens whose content occurs
+                             >= min_count times anywhere in the corpus
+                             (across OR within docs), detected via rolling
+                             k-token gram hashes and merged into maximal
+                             spans; removal rebuilds the text with the
+                             flagged tokens dropped, JVM-side.
 
 Scale notes: signatures/simhash are single-pass projections (no shuffle);
 the bucket join shuffles only (band_idx, band_hash) keys, so the pair space
@@ -34,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import seeded_hash
 
@@ -322,6 +336,204 @@ def dedup_survivors(
         F.col("node_id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level exact dedup (the C4 / RefinedWeb cleaning step — public
+    practice): ALL occurrences of any line whose exact content appears
+    >= ``min_count`` times corpus-wide are dropped (boilerplate navigation,
+    cookie banners, repeated headers), and each doc's surviving lines are
+    reassembled IN ORDER. Returns ``df`` plus ``cleaned_text``,
+    ``n_removed_lines`` and ``n_kept_lines``.
+
+    Differs from ``exact_dedup`` (doc grain, keeps one copy) and
+    ``duplicate_spans`` (token-window grain, tokenizer-defined): the unit
+    is the verbatim line, and no copy survives.
+
+    100-TB shape: one posexplode to (id, pos, xxhash64(line)) events —
+    line STRINGS are hashed immediately so only 24B rows shuffle; one
+    map-side-combined groupBy(hash) count; one anti-join of events against
+    the duplicated-hash set (shuffle — the hash set is corpus-sized on
+    boilerplate-heavy crawls, so no broadcast hint; AQE may still convert
+    when it measures small); one doc-keyed reassembly whose collect_list
+    is bounded by lines-per-doc. The line text survives only on the events
+    that win the anti-join, carried (not re-derived) into the reassembly.
+    The final join back to ``df`` restores docs that lost every line
+    (cleaned_text = '') — and is the same doc-keyed partitioning the
+    reassembly just produced. xxhash64 collisions can only over-drop a
+    line; the DuckDB mirror counts line STRINGS, so test-scale hash checks
+    also certify collision absence."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_pos", "_line"),
+    ).withColumn("_lh", F.xxhash64("_line"))
+    dup = lines.groupBy("_lh").count().filter(F.col("count") >= min_count)
+    kept = lines.join(dup, "_lh", "anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept_lines"),
+    )
+    # NULL text: the explode emitted nothing, and size(split(NULL)) is -1
+    # under Spark's legacy default — pin (kept, removed) = (0, 0)
+    n_lines = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), sep, -1)))
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn("cleaned_text", F.coalesce("cleaned_text", F.lit("")))
+        .withColumn(
+            "n_kept_lines", F.coalesce("n_kept_lines", F.lit(0)).cast("int")
+        )
+        .withColumn(
+            "n_removed_lines", (n_lines - F.col("n_kept_lines")).cast("int")
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection (Lee et al. 2022, public method):
+    every maximal token span made of rolling k-token grams whose content
+    occurs >= ``min_count`` times in the WHOLE corpus — across documents or
+    repeated within one (``count(*)`` over occurrences, not distinct docs,
+    matching the paper's "any substring occurring twice" rule).
+
+    Tokens are the raw single-space split of ``text_col`` (NOT lowercased:
+    substring dedup is exact-match by definition, and positions must index
+    the reconstructable token array — empty tokens from double spaces count,
+    the engine-wide F4 parity rule). Docs under k tokens emit no grams and
+    therefore no spans (no whole-text fallback here, unlike ``ngram_list``).
+
+    Returns one row per maximal span: (id_col, span_start, span_end,
+    span_tokens), positions 1-based and END-INCLUSIVE (F.slice convention,
+    = DuckDB ``w[s:e]``). A flagged gram at position p covers tokens
+    [p, p+k-1]; overlapping OR adjacent flagged windows merge into one span
+    (gaps-and-islands over a running max-end window), so spans never overlap
+    and ``span_tokens`` sums are exact removal counts.
+
+    100-TB shape: (1) one projection explodes docs into (id, pos, xxhash64
+    of the gram string) events — corpus-token-count rows of 24B each, no
+    strings survive the explode; (2) one groupBy(ghash) count with map-side
+    combine (grams repeat heavily — that is the point) produces the
+    duplicated-hash set; (3) one shuffle semi-join flags event positions
+    (the duplicated-hash side is NOT broadcast: on boilerplate-heavy web
+    corpora it is corpus-sized); (4) the span merge windows + aggregates on
+    id_col — one doc-keyed shuffle, and the groupBy(id, island) reuses the
+    window's HashPartitioning(id) so it adds no exchange. Nothing is
+    O(N^2); the only quadratic-looking cost is the duplicated-position
+    mass, which is the answer's own size. 64-bit gram-hash collisions can
+    over-flag a span (never corrupt positions); the DuckDB mirror groups
+    the gram STRINGS, so the sf0.01 hash check also certifies collision
+    absence at test scale."""
+    words = F.split(F.col(text_col), " ", -1)
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - k + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    events = df.select(F.col(id_col), F.posexplode(grams).alias("_p0", "ghash")).select(
+        id_col, (F.col("_p0") + 1).alias("pos"), "ghash"
+    )
+    dup_hashes = events.groupBy("ghash").count().filter(F.col("count") >= min_count)
+    flagged = events.join(dup_hashes, "ghash", "semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.col("pos") > F.coalesce(prev_end, F.lit(-k)) + 1
+    flagged = flagged.withColumn(
+        "island",
+        F.sum(new_island.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+    ).select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every token inside a duplicate span (ALL occurrences go — the
+    Lee et al. 2022 removal rule; keeping "the first" would need a global
+    total order over occurrences, which the paper also declines). Adds
+    ``cleaned_text`` (single-space re-join of surviving tokens),
+    ``n_dup_spans`` and ``dup_tokens``; docs with no spans pass through
+    verbatim (cleaned_text == text).
+
+    Pure per-doc projection after one doc-keyed join: the span list is
+    collect_list-bounded by spans-per-doc (spans are maximal and disjoint,
+    so at most n_tokens/k of them), and the token filter is a JVM higher-
+    order function over the split array — the index-aware two-arg
+    ``F.filter`` lambda (exact arity per CLAUDE.md), no Python, no re-scan
+    of the gram space."""
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    words = F.split(F.col(text_col), " ", -1)
+
+    def _keep(w_: Column, i: Column) -> Column:
+        # two-arg F.filter lambda (element, 0-based index) — exact arity
+        flagged = F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        )
+        return ~F.coalesce(flagged, F.lit(False))
+
+    kept = F.filter(words, _keep)
+    return (
+        df.join(span_lists, id_col, "left")
+        .withColumn("cleaned_text", F.array_join(kept, " "))
+        .withColumn(
+            # NOT coalesce(size(...)): size(NULL) is -1 under Spark's
+            # legacy default, never NULL — test against the null array
+            "n_dup_spans",
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(F.size("_spans"))
+            .cast("int"),
+        )
+        .withColumn(
+            "dup_tokens",
+            F.coalesce(
+                F.aggregate(
+                    "_spans",
+                    F.lit(0),
+                    lambda a, s: a + (s["span_end"] - s["span_start"] + 1),
+                ),
+                F.lit(0),
+            ).cast("int"),
+        )
+        .drop("_spans")
+    )
 
 
 def simhash(text_lc: Column, bits: int = 16) -> Column:

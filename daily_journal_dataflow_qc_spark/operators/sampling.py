@@ -345,3 +345,109 @@ def stratified_sample(
     if rank_col is not None:
         return out
     return out.filter(F.col(rc) <= n_per_stratum).drop(rc)
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    flag_col: str = "budget_kept",
+) -> DataFrame:
+    """Global best-first selection under a corpus token budget: order all
+    rows by (score DESC, id ASC), keep every row whose running token total
+    INCLUDING ITSELF is <= ``budget`` (the prefix rule — cumulative sum over
+    the full ordering, so once the budget overflows nothing later is kept).
+    Returns ``df`` plus a boolean ``flag_col``.
+
+    The naive plan — one cumulative-sum window over a GLOBAL ORDER BY — is
+    a single-partition bottleneck at scale (every row through one task).
+    This runs the same rule as two bounded driver actions plus ONE
+    bucket-keyed exchange:
+
+      1. min/max of the score (one row to the driver);
+      2. per-bucket token totals over ``n_buckets`` equal-width score
+         buckets (<= n_buckets rows to the driver), prefix-summed top-down
+         to find the boundary bucket b* — all buckets above it fit whole,
+         everything below is out;
+      3. one window pass partitioned by bucket: within-bucket running sum
+         in (score DESC, id) order; rows in b* keep while the residual
+         budget lasts. Bucket monotonicity in score makes the result
+         IDENTICAL to the global rule (floor is monotone, so every doc in
+         a higher bucket outscores every doc in a lower one; the in-bucket
+         order extends the global order).
+
+    Skew caveat: a bucket's window is one task, so the worst case (every
+    row sharing one score value -> one bucket) degenerates to the global
+    window; with real-valued quality scores the expected bucket is N /
+    n_buckets rows — raise ``n_buckets`` for tighter bounds. Zero-token
+    rows follow the prefix rule exactly (kept only while the running total
+    is still within budget). Null scores are never selected (they cannot
+    be ordered); token counts must be non-negative."""
+    if budget < 0:
+        raise ValueError("select_by_token_budget: budget must be >= 0")
+    if n_buckets < 1:
+        raise ValueError("select_by_token_budget: n_buckets must be >= 1")
+    raw = F.col(score_col).cast("double")
+    # NaN is a VALUE to Spark (sorts above +inf, survives min/max) but an
+    # unordered score is unselectable — normalize NaN to NULL up front so
+    # both the stats pass and the bucketing treat it like a missing score
+    score = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
+    stats = df.agg(
+        F.min(score).alias("mn"),
+        F.max(score).alias("mx"),
+        F.sum(F.when(F.col(token_col) < 0, 1).otherwise(0)).alias("neg"),
+    ).collect()[0]
+    if stats["mn"] is None:
+        return df.withColumn(flag_col, F.lit(False))
+    if stats["neg"]:
+        raise ValueError("select_by_token_budget: negative token counts")
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    width = (mx - mn) or 1.0
+    # least() IGNORES nulls (least(k, NULL) = k), so a null/NaN score must
+    # be pinned to a NULL bucket explicitly or it lands in the top bucket
+    # and its tokens eat the budget
+    bkt = F.when(
+        score.isNull(), F.lit(None).cast("int")
+    ).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((score - F.lit(mn)) / F.lit(width) * n_buckets).cast("int"),
+        )
+    )
+    per_bucket = {
+        int(r["b"]): int(r["t"] or 0)
+        for r in df.groupBy(bkt.alias("b"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+        if r["b"] is not None  # null-score rows are never selected
+    }
+    running, b_star, rem = 0, -1, budget
+    for b in sorted(per_bucket, reverse=True):
+        if running + per_bucket[b] > budget:
+            b_star, rem = b, budget - running
+            break
+        running += per_bucket[b]
+    if b_star == -1:
+        # everything (with a score) fits: no boundary bucket, pure projection
+        return df.withColumn(flag_col, score.isNotNull())
+    w = (
+        Window.partitionBy("_sbtb_bkt")
+        .orderBy(score.desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_sbtb_bkt", bkt)
+        .withColumn("_sbtb_cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .withColumn(
+            flag_col,
+            F.coalesce(  # null score -> null bucket -> excluded, not null
+                (F.col("_sbtb_bkt") > b_star)
+                | ((F.col("_sbtb_bkt") == b_star) & (F.col("_sbtb_cum") <= rem)),
+                F.lit(False),
+            ),
+        )
+        .drop("_sbtb_bkt", "_sbtb_cum")
+    )

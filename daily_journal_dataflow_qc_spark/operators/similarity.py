@@ -739,3 +739,40 @@ def embedding_near_dup(
     return pairs.groupBy("id_a", "id_b").agg(
         F.round(F.max("raw_cos"), 2).alias("cos_sim")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster the embedding space with the IVF k-means coarse
+    quantizer, find within-cell cosine near-duplicate PAIRS, collapse the
+    pair graph into semantic-duplicate CLUSTERS, and keep one
+    representative per cluster (plus every unclustered row). Returns the
+    surviving rows of ``embeddings``.
+
+    A pure composition — ``embedding_near_dup`` (IVF cells + exact in-cell
+    verify) -> ``connected_components`` (alternating-star, O(log n)
+    rounds) -> ``dedup_survivors`` (anti-join) — so it introduces no new
+    shuffle shape; each stage's scale story is its own docstring's. The
+    deterministic representative is the component-min id (the published
+    method keeps an arbitrary cluster member; min-id is the
+    partition-independent choice, consistent with ``exact_dedup``).
+    ``near_dup_kwargs`` pass through to ``embedding_near_dup``
+    (n_cells/n_probe/max_cell_rows... — n_probe=n_cells makes the
+    pair stage provably exact)."""
+    from .dedup import connected_components, dedup_survivors
+
+    pairs = embedding_near_dup(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        **near_dup_kwargs,
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return dedup_survivors(embeddings, comps, id_col=id_col)

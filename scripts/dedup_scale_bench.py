@@ -149,6 +149,49 @@ def main() -> None:
         ndp.unpersist()
         timed("simhash", docs.select("doc_id", simhash(F.lower(F.col("text")), 16).alias("s")))
 
+        # substring-level dedup (round 6): the replica corpus is the
+        # ADVERSARIAL case — every base 8-gram recurs across replicas, so
+        # essentially every position is flagged and the span mass tracks the
+        # corpus token count (the honest worst case for the events shuffle,
+        # flag join and span-merge window; a real crawl flags far less)
+        from daily_journal_dataflow_qc_spark.operators.dedup import duplicate_spans
+
+        t0 = time.time()
+        spans = duplicate_spans(docs, k=8).persist()
+        span_stats = (
+            spans.agg(
+                F.count("*").alias("n_spans"),
+                F.sum("span_tokens").alias("span_token_mass"),
+            )
+            .head()
+            .asDict()
+        )
+        walls["duplicate_spans"] = round(time.time() - t0, 2)
+        spans.unpersist()
+
+        # global token-budget selection (round 6): wall includes BOTH
+        # bounded driver actions (min/max + per-bucket totals) and the
+        # bucket-keyed window pass — the full cost of using the operator
+        from daily_journal_dataflow_qc_spark.operators.sampling import (
+            select_by_token_budget,
+        )
+
+        scored = docs.select(
+            "doc_id",
+            (F.pmod(F.xxhash64("text"), F.lit(100000)) / 100000.0).alias("score"),
+            F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        )
+        t0 = time.time()
+        total_tokens = int(scored.agg(F.sum("n_tokens")).head()[0])
+        sel = select_by_token_budget(
+            scored, total_tokens // 2, "score", "n_tokens"
+        )
+        budget_kept_tokens = int(
+            sel.filter("budget_kept").agg(F.sum("n_tokens")).head()[0]
+        )
+        walls["select_by_token_budget"] = round(time.time() - t0, 2)
+        assert budget_kept_tokens <= total_tokens // 2
+
         # corpus-prep legs (round 5): all three are scan-shaped — repetition
         # is a pure projection, packing is one shuffle keyed by pack_shard,
         # decontamination is explode + broadcast semi-join (the test split's
@@ -338,6 +381,9 @@ def main() -> None:
                     "ivf_rows": n_ivf,
                     "ivf_recall_at1_vs_exact": ivf_recall1,
                     "embedding_near_dup_pairs": n_ndp,
+                    "dup_spans": {k: int(v) for k, v in span_stats.items()},
+                    "budget_total_tokens": total_tokens,
+                    "budget_kept_tokens": budget_kept_tokens,
                     "pack_bins": n_bins,
                     "contaminated_docs": n_contam,
                     "ann_n_planes": n_planes,

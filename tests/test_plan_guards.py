@@ -433,3 +433,45 @@ def test_text_analysis_row_plan_shape(spark):
     )
     assert n_bigram_shuffles == 1, plan
     assert "InMemoryTableScan" in final, plan
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Scale pins for substring dedup (operators/dedup.py duplicate_spans):
+    the span merge's groupBy(id, island) must REUSE the window's
+    HashPartitioning(id) — exactly ONE doc-keyed exchange in the whole
+    plan — and nothing may degrade to a cartesian/nested-loop join or a
+    Python stage (the operator is all JVM built-ins). The duplicated-hash
+    side of the flag join is deliberately not hint-broadcast (corpus-sized
+    worst case), but AQE MAY convert it at runtime when it measures small —
+    that is the desired adaptive behavior, so broadcasts are allowed here."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from daily_journal_dataflow_qc_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(60),
+                "text": [
+                    "w0 w1 w2 w3 w4 w5 w6 w7 shared tail" + (" uniq%d" % i) * (i % 3)
+                    for i in range(60)
+                ],
+            }
+        )
+    )
+    out = duplicate_spans(docs, k=8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    real_shuffles = [
+        l
+        for l in final.splitlines()
+        if "Exchange hashpartitioning" in l and "BroadcastExchange" not in l
+    ]
+    doc_keyed = [l for l in real_shuffles if "doc_id" in l]
+    assert len(doc_keyed) == 1, plan  # window + groupBy share ONE exchange
+    assert len(real_shuffles) <= 3, plan

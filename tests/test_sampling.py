@@ -267,3 +267,128 @@ def test_dsir_select_deterministic_across_partitioning(spark):
     assert len(a) == 8
     # the target-like quarter (doc_id % 4 == 0) dominates the selection
     assert sum(1 for i in a if i % 4 == 0) >= 6
+
+
+# ------------------------------------------------------- token-budget selection
+
+
+def _scored(spark, n=500):
+    """Deterministic frame with a many-valued score, heavy score ties, and
+    varying token counts — exercises the boundary bucket and tie-breaks."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 97) / 97.0).alias("score"),
+        (F.col("id") % 13 + 1).cast("long").alias("n_tokens"),
+    )
+
+
+def _naive_rule(pdf, budget):
+    """The specification: global (score DESC, doc_id) order, keep while the
+    running token total including the row stays <= budget."""
+    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+    return set(pdf.doc_id[pdf.n_tokens.cumsum() <= budget])
+
+
+def test_select_by_token_budget_matches_global_rule(spark):
+    from daily_journal_dataflow_qc_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    d = _scored(spark)
+    pdf = d.toPandas()
+    for budget in (0, 1, 700, int(pdf.n_tokens.sum()) // 2, int(pdf.n_tokens.sum())):
+        got = select_by_token_budget(d, budget, "score", "n_tokens")
+        kept = set(got.filter("budget_kept").toPandas().doc_id)
+        assert kept == _naive_rule(pdf, budget), f"budget={budget}"
+    # full-budget run keeps everything (the no-boundary-bucket fast path)
+    assert len(_naive_rule(pdf, int(pdf.n_tokens.sum()))) == len(pdf)
+
+
+def test_select_by_token_budget_partition_independent(spark):
+    from daily_journal_dataflow_qc_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    budget = 900
+    a = set(
+        select_by_token_budget(_scored(spark).repartition(3), budget, "score", "n_tokens")
+        .filter("budget_kept")
+        .toPandas()
+        .doc_id
+    )
+    b = set(
+        select_by_token_budget(_scored(spark).repartition(17), budget, "score", "n_tokens")
+        .filter("budget_kept")
+        .toPandas()
+        .doc_id
+    )
+    assert a == b
+
+
+def test_select_by_token_budget_single_bucket_degenerate(spark):
+    """All rows share one score -> one bucket holds the whole corpus (the
+    documented worst case): still exactly the global rule, tie-broken by
+    doc_id."""
+    from daily_journal_dataflow_qc_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    d = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.5).alias("score"),
+        F.lit(3).cast("long").alias("n_tokens"),
+    )
+    kept = set(
+        select_by_token_budget(d, 10, "score", "n_tokens")
+        .filter("budget_kept")
+        .toPandas()
+        .doc_id
+    )
+    assert kept == {0, 1, 2}  # 3+3+3 <= 10, the 4th would make 12
+
+
+def test_select_by_token_budget_null_and_zero_edges(spark):
+    from daily_journal_dataflow_qc_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "score": [0.9, None, 0.8, 0.7],
+            "n_tokens": [5, 1, 0, 5],
+        }
+    )
+    out = (
+        select_by_token_budget(spark.createDataFrame(pdf), 5, "score", "n_tokens")
+        .toPandas()
+        .set_index("doc_id")["budget_kept"]
+    )
+    # null score never kept; zero-token doc rides along while within budget
+    assert dict(out) == {0: True, 1: False, 2: True, 3: False}
+    # everything-fits fast path still excludes the null score
+    out2 = (
+        select_by_token_budget(spark.createDataFrame(pdf), 100, "score", "n_tokens")
+        .toPandas()
+        .set_index("doc_id")["budget_kept"]
+    )
+    assert dict(out2) == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_select_by_token_budget_rejects_bad_args(spark):
+    from daily_journal_dataflow_qc_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    d = _scored(spark)
+    with pytest.raises(ValueError, match="budget"):
+        select_by_token_budget(d, -1, "score", "n_tokens")
+    with pytest.raises(ValueError, match="n_buckets"):
+        select_by_token_budget(d, 10, "score", "n_tokens", n_buckets=0)
+    neg = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.5).alias("score"),
+        (F.col("id") - 1).cast("long").alias("n_tokens"),
+    )
+    with pytest.raises(ValueError, match="negative"):
+        select_by_token_budget(neg, 10, "score", "n_tokens")

@@ -832,3 +832,223 @@ def test_ngram_lm_perplexity_reference_train_df(spark):
         assert got.loc[i, "lm_tokens"] == n
         assert got.loc[i, "lm_logprob"] == pytest.approx(lp, abs=2e-4)
     assert got.loc[0, "lm_ppl"] < got.loc[1, "lm_ppl"]
+
+
+# ---------------------------------------------------------------- substring dedup
+
+
+SPAN_DOCS = {
+    0: "x1 x2 x3 x4 x5 a b c d e f g h y1 y2",  # shares the a..h 8-gram with 1
+    1: "p q a b c d e f g h r s",
+    2: "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",  # unique: no flagged grams
+    3: "m n o p q r s t u m n o p q r s t u",  # period-9 WITHIN-doc repeat
+    4: "short stuff",  # < k tokens: no grams at all
+}
+
+
+def _span_docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(SPAN_DOCS), "text": list(SPAN_DOCS.values())})
+    )
+
+
+def test_duplicate_spans_known_answers(spark):
+    """Hand-checkable fixture: one cross-doc shared 8-gram (docs 0/1), one
+    periodic within-doc repeat whose flagged windows tile the WHOLE doc
+    (doc 3: grams at pos {1,2,10,11} merge into [1,18] because pos 10 is
+    adjacent to the running end 9), one clean doc, one sub-k doc."""
+    from daily_journal_dataflow_qc_spark.operators.dedup import duplicate_spans
+
+    spans = (
+        duplicate_spans(_span_docs(spark), k=8)
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+    )
+    got = [
+        (int(r.doc_id), int(r.span_start), int(r.span_end), int(r.span_tokens))
+        for r in spans.itertuples(index=False)
+    ]
+    assert got == [(0, 6, 13, 8), (1, 3, 10, 8), (3, 1, 18, 18)]
+
+
+def test_remove_duplicate_spans(spark):
+    from daily_journal_dataflow_qc_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    out = (
+        remove_duplicate_spans(docs, duplicate_spans(docs, k=8))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "cleaned_text"] == "x1 x2 x3 x4 x5 y1 y2"
+    assert out.loc[1, "cleaned_text"] == "p q r s"
+    assert out.loc[2, "cleaned_text"] == SPAN_DOCS[2]  # untouched passthrough
+    assert out.loc[3, "cleaned_text"] == ""  # everything was duplicated
+    assert out.loc[4, "cleaned_text"] == SPAN_DOCS[4]
+    assert list(out["n_dup_spans"]) == [1, 1, 0, 1, 0]
+    assert list(out["dup_tokens"]) == [8, 8, 0, 18, 0]
+
+
+def test_duplicate_spans_duckdb_parity(spark):
+    """Full span-table parity vs a DuckDB mirror that groups the gram
+    STRINGS (no hashes) — certifies both the span algebra and the absence
+    of xxhash64 collisions at test scale. Exact-dup docs in the synthetic
+    corpus guarantee the check is non-vacuous."""
+    import duckdb
+
+    from daily_journal_dataflow_qc_spark.operators.dedup import duplicate_spans
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        (int(r.doc_id), int(r.span_start), int(r.span_end))
+        for r in duplicate_spans(docs, k=8).toPandas().itertuples(index=False)
+    }
+    con = duckdb.connect()
+    exp = {
+        tuple(map(int, row))
+        for row in con.sql(
+            f"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM read_parquet('{path}')
+            ),
+            g AS (
+              SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS gram
+              FROM w, UNNEST(range(1, len(toks) - 6)) AS u(p)
+              WHERE len(toks) >= 8
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            fl AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+            isl AS (
+              SELECT doc_id, p,
+                     CASE WHEN p > coalesce(max(p + 7) OVER (
+                            PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM fl
+            )
+            SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end
+            FROM (SELECT doc_id, p, sum(ni) OVER (
+                    PARTITION BY doc_id ORDER BY p) AS island FROM isl)
+            GROUP BY doc_id, island
+            """
+        ).fetchall()
+    }
+    assert got == exp
+    assert len(got) > 0
+
+
+# ------------------------------------------------------------ line-level dedup
+
+
+def test_dedup_lines_known_answers(spark):
+    from daily_journal_dataflow_qc_spark.operators.dedup import dedup_lines
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "keep me\ncookie banner\nunique zero",
+                "cookie banner\nunique one",
+                "unique two only",
+                None,
+                "self\nself",  # within-doc repeat: BOTH copies go
+            ],
+        }
+    )
+    out = (
+        dedup_lines(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "cleaned_text"] == "keep me\nunique zero"
+    assert out.loc[1, "cleaned_text"] == "unique one"
+    assert out.loc[2, "cleaned_text"] == "unique two only"
+    assert out.loc[3, "cleaned_text"] == ""
+    assert out.loc[4, "cleaned_text"] == ""
+    assert list(out["n_kept_lines"]) == [2, 1, 1, 0, 0]
+    assert list(out["n_removed_lines"]) == [1, 1, 0, 0, 2]
+
+
+def test_dedup_lines_duckdb_parity(spark):
+    """Word-grain run (sep=' ') over the synthetic corpus vs a DuckDB
+    mirror that counts line STRINGS — order-preserving reassembly and the
+    all-copies-drop rule, plus collision absence at test scale."""
+    import duckdb
+
+    from daily_journal_dataflow_qc_spark.operators.dedup import dedup_lines
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        dedup_lines(spark.read.parquet(path), sep=" ")
+        .select("doc_id", "cleaned_text", "n_kept_lines", "n_removed_lines")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()  # keep a strong ref: a chained temp gets GC-closed
+    exp = (
+        con.sql(
+            f"""
+            WITH ln AS (
+              SELECT doc_id, u.p, toks[u.p] AS line
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM read_parquet('{path}')) w,
+                   UNNEST(range(1, len(toks) + 1)) AS u(p)
+            ),
+            dup AS (SELECT line FROM ln GROUP BY line HAVING count(*) >= 2),
+            kept AS (
+              SELECT doc_id,
+                     string_agg(line, ' ' ORDER BY p) AS cleaned_text,
+                     count(*) AS n_kept
+              FROM ln WHERE line NOT IN (SELECT line FROM dup)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(k.cleaned_text, '') AS cleaned_text,
+                   CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept_lines,
+                   CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS INT)
+                     AS n_removed_lines
+            FROM read_parquet('{path}') d LEFT JOIN kept k USING (doc_id)
+            """
+        )
+        .df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got["cleaned_text"].to_dict() == exp["cleaned_text"].to_dict()
+    assert got["n_kept_lines"].to_dict() == exp["n_kept_lines"].to_dict()
+    assert got["n_removed_lines"].to_dict() == exp["n_removed_lines"].to_dict()
+    assert (got["n_removed_lines"] > 0).any()  # non-vacuous
+
+
+# ------------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_survivors(spark):
+    """Two semantic-duplicate groups + three distinct vectors; full probe
+    makes the pair stage exact, so survivors are exactly the component-min
+    representatives plus the unpaired rows."""
+    from daily_journal_dataflow_qc_spark.operators.similarity import semantic_dedup
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [1.0, 0.01, 0.0, 0.0],
+        [1.0, 0.0, 0.01, 0.0],  # group {0,1,2}
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.01, 0.0],  # group {3,4}
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [0.7, 0.0, 0.7, 0.0],  # cos vs group0 ~= 0.71 < threshold
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    )
+    out = semantic_dedup(df, threshold=0.95, n_cells=2, n_probe=2, dim=4)
+    assert sorted(r.vec_id for r in out.select("vec_id").collect()) == [0, 3, 5, 6, 7]
