@@ -11,8 +11,12 @@ documented where the stage lives.
 
 Stage order is deliberate and matters:
 
-1. quality/repetition gate FIRST — cheapest per row (pure projection), so
-   every later stage sees fewer rows;
+0. (opt-in) line-level boilerplate removal on RAW text — before quality,
+   or repeated nav/banner lines drag real pages under the gate;
+1. quality/repetition gate FIRST among the always-on stages — cheapest
+   per row (pure projection), so every later stage sees fewer rows;
+   (opt-in) substring-level span removal runs after exact dedup (2b) —
+   on un-deduped text every span of a verbatim copy flags itself;
 2. exact dedup before near-dup — verbatim copies would otherwise inflate
    every LSH bucket by their multiplicity;
 3. near-dup cluster resolution (minhash-LSH pairs -> connected components
@@ -31,9 +35,12 @@ from pyspark.sql import functions as F
 from .dedup import (
     connected_components,
     decontaminate,
+    dedup_lines,
     dedup_survivors,
+    duplicate_spans,
     exact_dedup,
     near_dup_pairs,
+    remove_duplicate_spans,
 )
 from .packing import pack_sequences
 from .sampling import hash_split
@@ -52,6 +59,9 @@ def prepare_corpus(
     max_tokens: int = 2048,
     n_shards: int = 64,
     split_weights: dict[str, float] | None = None,
+    line_dedup: bool = False,
+    substring_dedup: bool = False,
+    substring_k: int = 50,
 ) -> DataFrame:
     """Run the full preparation chain and return one row per SURVIVING doc:
     ``(id, n_tokens, split, pack_shard, pack_bin, pack_pos)``.
@@ -64,7 +74,26 @@ def prepare_corpus(
     NB docs under 2 words always fail the repetition gate: the whole-text
     gram fallback makes their ``top_2gram_frac`` exactly 1.0 — deliberate
     (single-token rows are not training material); raise ``max_top_2gram``
-    to 1.0 to keep them."""
+    to 1.0 to keep them.
+
+    ``line_dedup`` (opt-in) runs the C4/RefinedWeb line-level boilerplate
+    removal FIRST, on raw text — the published order: boilerplate must go
+    before quality is scored, or nav/banner lines drag real pages under the
+    gate. ``substring_dedup`` (opt-in) removes repeated >=``substring_k``-
+    token spans (Lee et al. 2022; 50 is the paper's threshold) AFTER exact
+    dedup — verbatim copies would flag every span of themselves — and
+    recomputes ``n_tokens`` from the surviving text so packing bins track
+    what will actually be trained on; docs whose text is entirely
+    duplicated spans drop out."""
+    # 0. (opt-in) line-level boilerplate removal on raw text
+    if line_dedup:
+        docs = (
+            dedup_lines(docs, text_col, id_col)
+            .filter(F.col("n_kept_lines") > 0)
+            .drop(text_col, "n_removed_lines", "n_kept_lines")
+            .withColumnRenamed("cleaned_text", text_col)
+        )
+
     # 1. quality + repetition gate (pure projections; with_text_analysis
     # already includes repetition_metrics — no double gram construction)
     scored = with_text_analysis(docs, text_col)
@@ -75,6 +104,22 @@ def prepare_corpus(
 
     # 2. exact dedup (content-hash groupBy, min-id survivor)
     kept = exact_dedup(kept, text_col, id_col)
+
+    # 2b. (opt-in) substring-level dedup on the exact-deduped corpus;
+    # n_tokens is recomputed from the cleaned text (same whitespace rule
+    # as ws_tokens) so downstream packing budgets the surviving tokens
+    if substring_dedup:
+        spans = duplicate_spans(kept, text_col, id_col, k=substring_k)
+        kept = (
+            remove_duplicate_spans(kept, spans, text_col, id_col)
+            .filter(F.col("cleaned_text") != "")
+            .drop(text_col, "n_dup_spans", "dup_tokens")
+            .withColumnRenamed("cleaned_text", text_col)
+        )
+        kept = kept.withColumn(
+            "n_tokens",
+            F.size(F.split(F.lower(F.col(text_col)), " ", -1)).cast("long"),
+        )
 
     # 3. near-dup cluster resolution: LSH pairs -> components -> survivors
     pairs = near_dup_pairs(kept, text_col, id_col, threshold=near_dup_threshold)

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -101,6 +102,128 @@ def start_corpus_ingest_stream(
         .withWatermark("ts", dedup_watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
         .select(*_OUT_COLS)
+    )
+    writer = (
+        admitted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ------------------------------------------------ budgeted admission stage
+
+#: schema of the admitted store the ingest stream writes (its _OUT_COLS)
+ADMITTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("quality_score", DoubleType()),
+        StructField("top_2gram_frac", DoubleType()),
+        StructField("lang_pred", StringType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+BUDGET_STATE_SCHEMA = StructType(
+    [StructField("cum_tokens", LongType(), False)]
+)
+
+BUDGET_OUT_SCHEMA = StructType(
+    ADMITTED_SCHEMA.fields
+    + [StructField("cum_source_tokens", LongType(), False)]
+)
+
+
+def _budget_admit_fn(source_budgets: dict[str, int], default_budget: int):
+    """Factory: the per-source keyed admission function (budgets captured
+    in the closure so the Arrow worker ships plain data, no Spark refs)."""
+    import pandas as pd
+
+    def admit(key, pdf_iter, state):
+        (source,) = key
+        budget = source_budgets.get(source, default_budget)
+        cum = int(state.get[0]) if state.exists else 0
+        chunks = [p for p in pdf_iter if len(p)]
+        out = None
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            # deterministic within-batch order: arrival time, then id
+            pdf = pdf.sort_values(["ts", "doc_id"], ignore_index=True)
+            run = cum + pdf["n_tokens"].to_numpy("int64").cumsum()
+            keep = run <= budget
+            cum = int(run[-1])
+            if keep.any():
+                out = pdf[keep].assign(cum_source_tokens=run[keep])
+        state.update((cum,))
+        if out is not None:
+            yield out
+
+    return admit
+
+
+def start_budget_admission_stream(
+    spark: SparkSession,
+    admitted_loc: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    source_budgets: dict[str, int] | None = None,
+    default_budget: int = 0,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous per-source token-budget admission — the streaming
+    counterpart of ``operators/sampling.select_by_token_budget``: reads the
+    ingest stream's admitted store and passes each source's docs through
+    while that source's CUMULATIVE token count stays within its budget
+    (``source_budgets`` per source name incl. a ``None`` key for null
+    sources; everything else gets ``default_budget`` — 0 = closed).
+
+    Semantics are the batch operator's PREFIX RULE transposed to arrival
+    order (streaming has no global score order): every gated doc advances
+    the source's running total whether admitted or not, so once a source
+    overflows, later docs are rejected no matter how small — monotone,
+    replay-stable, and O(1) state. Within a micro-batch the order is
+    (ts, doc_id); across batches it is the checkpointed batch sequence, so
+    a kill/resume replays identical decisions.
+
+    Runs as its OWN query chained through storage (admitted store ->
+    budgeted store) rather than stacking a second stateful operator on the
+    ingest query: ``applyInPandasWithState`` composes with
+    ``dropDuplicatesWithinWatermark`` only under the multi-stateful
+    restrictions, and the storage seam is the pattern the QC tier already
+    uses (pending -> merge). 100-TB shape: state is ONE long per source
+    (bounded by source cardinality, not rows); the group shuffle is keyed
+    by source — a single enormous source serializes through one task per
+    trigger, which is the price of a STRICT global budget for that source
+    (shard the source name upstream if approximate budgeting is
+    acceptable)."""
+    _apply_stream_conf(spark)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    options = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    docs = read_table(
+        spark, admitted_loc, ADMITTED_SCHEMA, streaming=True, options=options
+    )
+    admitted = docs.groupBy("source").applyInPandasWithState(
+        _budget_admit_fn(source_budgets or {}, default_budget),
+        outputStructType=BUDGET_OUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
     writer = (
         admitted.writeStream.format("parquet")

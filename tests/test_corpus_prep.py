@@ -303,3 +303,143 @@ def test_prepare_corpus_empty_input(spark):
     )
     assert prepare_corpus(empty).count() == 0
     assert prepare_corpus(empty, empty).count() == 0
+
+
+def test_prepare_corpus_line_and_substring_stages(spark):
+    """Opt-in stage 0 (line dedup) and 2b (substring dedup): a boilerplate
+    banner line repeated across docs is stripped BEFORE the quality gate
+    (the doc survives where it would otherwise fail on repetition), and a
+    long span shared by two otherwise-distinct docs is cut with n_tokens
+    re-budgeted from the surviving text."""
+    banner = "subscribe to our newsletter now"
+    body_a = GOOD
+    body_b = (
+        "a entirely different tale where the mill wheel turns beside the "
+        "cold stream and children count stones on the far bank every morning"
+    )
+    body_c = (
+        "meanwhile sailors chart quiet harbors reading tide tables under "
+        "paper lanterns while gulls argue about crumbs along the pier"
+    )
+    body_d = (
+        "deep in the archive a librarian files forgotten letters between "
+        "atlases and hums an old tune nobody else remembers hearing"
+    )
+    shared = " ".join(f"boiler{i}" for i in range(12))  # 12-token shared run
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    f"{banner}\n{body_a}",  # banner repeats across 0/1
+                    f"{banner}\n{body_b}",
+                    f"{body_c} {shared}",  # shared tail repeats across 2/3
+                    f"{body_d} {shared}",
+                ],
+            }
+        )
+    )
+    # near_dup_threshold=1.01 disables the near-dup stage (jaccard <= 1)
+    out = prepare_corpus(
+        docs,
+        None,
+        near_dup_threshold=1.01,
+        line_dedup=True,
+        substring_dedup=True,
+        substring_k=10,
+    ).toPandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1, 2, 3]
+    # the banner line was stripped from 0/1 before the gate; the shared
+    # 12-token tail was cut from BOTH 2 and 3 (>=10-token rule), with
+    # n_tokens re-budgeted from the surviving text
+    assert out.loc[0, "n_tokens"] == len(body_a.split(" "))
+    assert out.loc[1, "n_tokens"] == len(body_b.split(" "))
+    assert out.loc[2, "n_tokens"] == len(body_c.split(" "))
+    assert out.loc[3, "n_tokens"] == len(body_d.split(" "))
+
+
+def test_prepare_corpus_substring_drops_fully_duplicated_doc(spark):
+    """A doc that is nothing but a repeated span loses all its text at
+    stage 2b and drops out of the assignments."""
+    span = " ".join(f"tok{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [f"{GOOD} {span}", f"{LEAKED} {span}", span],
+            }
+        )
+    )
+    out = prepare_corpus(
+        docs, None, near_dup_threshold=1.01,
+        substring_dedup=True, substring_k=12,
+    ).toPandas()
+    assert sorted(out.doc_id) == [0, 1]
+    got = out.set_index("doc_id")
+    assert got.loc[0, "n_tokens"] == len(GOOD.split(" "))
+    assert got.loc[1, "n_tokens"] == len(LEAKED.split(" "))
+
+
+def test_streaming_budget_admission(spark, tmp_path):
+    """Per-source token-budget admission (streaming select_by_token_budget,
+    arrival-order prefix rule): admits while the source's cumulative gated
+    tokens fit, rejects everything after the overflow (even smaller docs),
+    holds unknown sources to default_budget=0, and RESTORES the cumulative
+    state across a restart — a post-restart tiny doc must stay rejected
+    (a reset state would admit it), and the restart appends nothing."""
+    import time
+
+    from daily_journal_dataflow_qc_spark.streaming.corpus_ingest import (
+        start_budget_admission_stream,
+    )
+
+    in_dir = tmp_path / "admitted"
+    in_dir.mkdir()
+    ts0 = pd.Timestamp("2025-06-01 12:00:00", tz="UTC")
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [f"doc {r[0]} body" for r in rows],
+                "source": [r[1] for r in rows],
+                "ts": [ts0 + pd.Timedelta(minutes=r[3]) for r in rows],
+                "quality_score": 1.0,
+                "top_2gram_frac": 0.0,
+                "lang_pred": "en",
+                "n_tokens": [r[2] for r in rows],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        pdf.to_parquet(in_dir / name)
+        time.sleep(1.1)  # mtime order = arrival order
+
+    # (doc_id, source, n_tokens, minute): s0 budget 25 -> 0,1 fit (cum
+    # 10/20); 2 overflows (30); 3 is SMALLER but the prefix rule keeps it
+    # out (cum 33); s1 has no budget entry -> default 0 -> closed
+    mk([(0, "s0", 10, 0), (1, "s0", 10, 0)], "b0.parquet")
+    mk([(2, "s0", 10, 1), (10, "s1", 1, 1)], "b1.parquet")
+    mk([(3, "s0", 3, 2)], "b2.parquet")
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_budget_admission_stream(
+        spark, str(in_dir), out_dir, ck,
+        source_budgets={"s0": 25}, available_now=True,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("doc_id")
+    assert list(got.doc_id) == [0, 1]
+    assert list(got.cum_source_tokens) == [10, 20]
+
+    # restart with one more tiny s0 doc: restored cum (33) must keep
+    # rejecting; a reset state (cum 0) would have admitted it
+    mk([(4, "s0", 1, 3)], "b3.parquet")
+    q2 = start_budget_admission_stream(
+        spark, str(in_dir), out_dir, ck,
+        source_budgets={"s0": 25}, available_now=True,
+        max_files_per_trigger=1,
+    )
+    assert q2.awaitTermination(300)
+    again = spark.read.parquet(out_dir).toPandas()
+    assert sorted(again.doc_id) == [0, 1], "state was not restored"
