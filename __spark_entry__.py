@@ -2425,7 +2425,9 @@ def oracle_sql() -> dict[str, str]:
                      len(coalesce(lk.lct, '')) AS lc
               FROM w
               LEFT JOIN doc_spans ds USING (doc_id)
-              JOIN kept k USING (doc_id)
+              -- LEFT: a NULL-text doc has no tok rows at all; it must
+              -- still be counted in n_docs (Spark's groupBy counts it)
+              LEFT JOIN kept k USING (doc_id)
               LEFT JOIN lkept lk USING (doc_id)
             )
             SELECT source,

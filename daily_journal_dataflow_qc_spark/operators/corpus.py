@@ -79,14 +79,22 @@ def prepare_corpus(
     ``line_dedup`` (opt-in) runs the C4/RefinedWeb line-level boilerplate
     removal FIRST, on raw text — the published order: boilerplate must go
     before quality is scored, or nav/banner lines drag real pages under the
-    gate. ``substring_dedup`` (opt-in) removes repeated >=``substring_k``-
+    gate — preceded by an exact dedup so verbatim doc copies collapse to
+    one survivor instead of erasing each other's every line. ``substring_dedup`` (opt-in) removes repeated >=``substring_k``-
     token spans (Lee et al. 2022; 50 is the paper's threshold) AFTER exact
     dedup — verbatim copies would flag every span of themselves — and
     recomputes ``n_tokens`` from the surviving text so packing bins track
     what will actually be trained on; docs whose text is entirely
     duplicated spans drop out."""
-    # 0. (opt-in) line-level boilerplate removal on raw text
+    # 0. (opt-in) line-level boilerplate removal on raw text. Exact dedup
+    # runs FIRST here (content-keyed, so banner lines don't affect it):
+    # dedup_lines drops ALL copies of a repeated line, so two verbatim
+    # deliveries of one doc would otherwise erase each other's every line
+    # — the same self-flagging hazard substring_dedup avoids by ordering
+    # after exact dedup. Stage 2's exact_dedup stays (idempotent, and the
+    # line cut can only merge texts that were already line-identical).
     if line_dedup:
+        docs = exact_dedup(docs, text_col, id_col)
         docs = (
             dedup_lines(docs, text_col, id_col)
             .filter(F.col("n_kept_lines") > 0)
@@ -113,12 +121,15 @@ def prepare_corpus(
         kept = (
             remove_duplicate_spans(kept, spans, text_col, id_col)
             .filter(F.col("cleaned_text") != "")
+            # surviving count is exact arithmetic: spans index the same
+            # single-space token array ws_tokens counts, and the join/
+            # re-split round-trips it — no second scan of the text
+            .withColumn(
+                "n_tokens",
+                (F.col("n_tokens") - F.col("dup_tokens")).cast("long"),
+            )
             .drop(text_col, "n_dup_spans", "dup_tokens")
             .withColumnRenamed("cleaned_text", text_col)
-        )
-        kept = kept.withColumn(
-            "n_tokens",
-            F.size(F.split(F.lower(F.col(text_col)), " ", -1)).cast("long"),
         )
 
     # 3. near-dup cluster resolution: LSH pairs -> components -> survivors

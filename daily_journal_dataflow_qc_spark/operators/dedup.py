@@ -369,9 +369,13 @@ def dedup_lines(
     reassembly just produced. xxhash64 collisions can only over-drop a
     line; the DuckDB mirror counts line STRINGS, so test-scale hash checks
     also certify collision absence."""
+    # F.split takes a REGEX; array_join re-joins literally — quote the
+    # separator so a sep like '. ' splits on the literal string, not on
+    # "any char + space" (\\Q..\\E is Java's Pattern.quote)
+    sep_re = "\\Q" + sep + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("_pos", "_line"),
     ).withColumn("_lh", F.xxhash64("_line"))
     dup = lines.groupBy("_lh").count().filter(F.col("count") >= min_count)
     kept = lines.join(dup, "_lh", "anti")
@@ -389,7 +393,7 @@ def dedup_lines(
     # under Spark's legacy default — pin (kept, removed) = (0, 0)
     n_lines = F.when(
         F.col(text_col).isNull(), F.lit(0)
-    ).otherwise(F.size(F.split(F.col(text_col), sep, -1)))
+    ).otherwise(F.size(F.split(F.col(text_col), sep_re, -1)))
     return (
         df.join(rebuilt, id_col, "left")
         .withColumn("cleaned_text", F.coalesce("cleaned_text", F.lit("")))

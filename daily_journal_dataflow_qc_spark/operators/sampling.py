@@ -399,11 +399,19 @@ def select_by_token_budget(
         F.min(score).alias("mn"),
         F.max(score).alias("mx"),
         F.sum(F.when(F.col(token_col) < 0, 1).otherwise(0)).alias("neg"),
+        # a NULL count on a scored row would make its keep/drop decision
+        # depend on which code path (fast vs boundary-bucket) it hits —
+        # enforce the non-negative-integer contract instead
+        F.sum(
+            F.when(score.isNotNull() & F.col(token_col).isNull(), 1).otherwise(0)
+        ).alias("nulltok"),
     ).collect()[0]
     if stats["mn"] is None:
         return df.withColumn(flag_col, F.lit(False))
     if stats["neg"]:
         raise ValueError("select_by_token_budget: negative token counts")
+    if stats["nulltok"]:
+        raise ValueError("select_by_token_budget: null token counts on scored rows")
     mn, mx = float(stats["mn"]), float(stats["mx"])
     width = (mx - mn) or 1.0
     # least() IGNORES nulls (least(k, NULL) = k), so a null/NaN score must

@@ -187,7 +187,7 @@ def main() -> None:
             scored, total_tokens // 2, "score", "n_tokens"
         )
         budget_kept_tokens = int(
-            sel.filter("budget_kept").agg(F.sum("n_tokens")).head()[0]
+            sel.filter("budget_kept").agg(F.sum("n_tokens")).head()[0] or 0
         )
         walls["select_by_token_budget"] = round(time.time() - t0, 2)
         assert budget_kept_tokens <= total_tokens // 2
@@ -381,7 +381,7 @@ def main() -> None:
                     "ivf_rows": n_ivf,
                     "ivf_recall_at1_vs_exact": ivf_recall1,
                     "embedding_near_dup_pairs": n_ndp,
-                    "dup_spans": {k: int(v) for k, v in span_stats.items()},
+                    "dup_spans": {k: int(v or 0) for k, v in span_stats.items()},
                     "budget_total_tokens": total_tokens,
                     "budget_kept_tokens": budget_kept_tokens,
                     "pack_bins": n_bins,

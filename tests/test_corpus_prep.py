@@ -443,3 +443,20 @@ def test_streaming_budget_admission(spark, tmp_path):
     assert q2.awaitTermination(300)
     again = spark.read.parquet(out_dir).toPandas()
     assert sorted(again.doc_id) == [0, 1], "state was not restored"
+
+
+def test_prepare_corpus_line_dedup_keeps_one_copy_of_dup_docs(spark):
+    """A doc delivered twice must collapse to ONE survivor under
+    line_dedup=True, not erase itself (all its lines occur twice corpus-
+    wide): the chain runs exact dedup before the line cut."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [GOOD, GOOD, LEAKED],  # verbatim duplicate pair
+            }
+        )
+    )
+    out = prepare_corpus(docs, None, near_dup_threshold=1.01, line_dedup=True).toPandas()
+    assert sorted(out.doc_id) == [0, 2]
+    assert out.set_index("doc_id").loc[0, "n_tokens"] == len(GOOD.split(" "))

@@ -392,3 +392,16 @@ def test_select_by_token_budget_rejects_bad_args(spark):
     )
     with pytest.raises(ValueError, match="negative"):
         select_by_token_budget(neg, 10, "score", "n_tokens")
+    # NULL token count on a scored row: contract violation, not a silent
+    # path-dependent keep/drop
+    nul = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "score": [0.5, 0.6],
+                "n_tokens": pd.array([3, None], dtype="Int64"),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="null token"):
+        select_by_token_budget(nul, 10, "score", "n_tokens")

@@ -1052,3 +1052,25 @@ def test_semantic_dedup_survivors(spark):
     )
     out = semantic_dedup(df, threshold=0.95, n_cells=2, n_probe=2, dim=4)
     assert sorted(r.vec_id for r in out.select("vec_id").collect()) == [0, 3, 5, 6, 7]
+
+
+def test_dedup_lines_literal_separator(spark):
+    """``sep`` is treated literally even when it contains regex
+    metacharacters (F.split takes a regex; the operator quotes it)."""
+    from daily_journal_dataflow_qc_spark.operators.dedup import dedup_lines
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["keep this. shared tail", "other words. shared tail"],
+        }
+    )
+    out = (
+        dedup_lines(spark.createDataFrame(pdf), sep=". ")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "cleaned_text"] == "keep this"
+    assert out.loc[1, "cleaned_text"] == "other words"
+    assert list(out["n_removed_lines"]) == [1, 1]
