@@ -412,6 +412,15 @@ def q_dedup_exact_docs(spark, sf):
         remove_duplicate_spans,
     )
 
+    # ... and (round 6) the HLL sketch tier: hll_est approximates
+    # n_distinct per source from the mergeable register table
+    # (operators/sketches.py, p=8) — the DuckDB mirror rebuilds the
+    # registers bit-for-bit from the portable hash and replays the exact
+    # scaled-integer estimate, so the sketch algebra is hash-checked
+    # against the published formula, with the exact n_distinct column
+    # sitting next to it as the accuracy witness.
+    from daily_journal_dataflow_qc_spark.operators.sketches import hll_distinct
+
     d = _t(spark, sf, "documents")
     lines = dedup_lines(d).select(
         "doc_id",
@@ -421,6 +430,7 @@ def q_dedup_exact_docs(spark, sf):
     cleaned = remove_duplicate_spans(d, duplicate_spans(d, k=8)).join(
         lines, "doc_id"
     )
+    hll = hll_distinct(d, "text", ["source"], p=8)
     return cleaned.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
@@ -433,6 +443,8 @@ def q_dedup_exact_docs(spark, sf):
         F.sum(F.length("cleaned_text")).cast("long").alias("cleaned_chars"),
         F.sum("_rl").cast("long").alias("removed_lines"),
         F.sum("_lc").cast("long").alias("line_cleaned_chars"),
+    ).join(hll, "source", "left").withColumn(
+        "hll_est", F.coalesce("hll_est", F.lit(0.0))
     )
 
 
@@ -1498,6 +1510,18 @@ def oracle_sql() -> dict[str, str]:
     )
     words = "string_split(lower(text), ' ')"
 
+    # HLL mirror constants (dedup_exact_docs row): p=8 -> m=256, rmax=53;
+    # the numerator is ONE python double shared with the Spark side
+    # (sketches.hll_estimate computes the identical expression)
+    from daily_journal_dataflow_qc_spark.operators.sketches import _alpha
+
+    hll_num = repr(_alpha(256) * 256 * 256 * float(1 << 53))
+    hll_bitlen = (
+        "CASE "
+        + " ".join(f"WHEN w >= {1 << (k - 1)} THEN {k}" for k in range(52, 0, -1))
+        + " ELSE 0 END"
+    )
+
     def grams_sql(k: int) -> str:
         # contiguous k-grams WITH duplicates over the alias ``w`` (mirrors
         # operators/textanalysis.ngram_list incl. the short-doc fallback)
@@ -2358,7 +2382,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM t GROUP BY doc_id
             ) ch USING (doc_id)
         """,
-        "dedup_exact_docs": """
+        "dedup_exact_docs": f"""
             WITH w AS (
               SELECT doc_id, source, text, string_split(text, ' ') AS toks
               FROM documents
@@ -2416,6 +2440,35 @@ def oracle_sql() -> dict[str, str]:
               FROM lnn WHERE line NOT IN (SELECT line FROM ldup)
               GROUP BY doc_id
             ),
+            hreg AS (
+              SELECT source, h % 256 AS bucket,
+                     MAX(53 - ({hll_bitlen})) AS register
+              FROM (
+                SELECT source, h, h >> 8 AS w
+                FROM (SELECT source,
+                             CAST(('0x' || substring(md5('hll:' || text), 1, 15))
+                               AS BIGINT) AS h
+                      FROM documents WHERE text IS NOT NULL)
+              )
+              GROUP BY source, h % 256
+            ),
+            hest AS (
+              SELECT source,
+                     CAST(sum(CAST(1 AS BIGINT) << (53 - register))
+                          + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                          AS BIGINT) AS total,
+                     256 - count(*) AS v
+              FROM hreg GROUP BY source
+            ),
+            hfin AS (
+              SELECT source,
+                     round(CASE WHEN {hll_num} / CAST(total AS DOUBLE) <= 640.0
+                                     AND v > 0
+                                THEN 256.0 * ln(256.0 / v)
+                                ELSE {hll_num} / CAST(total AS DOUBLE) END,
+                           4) AS hll_est
+              FROM hest
+            ),
             per_doc AS (
               SELECT w.source, w.text,
                      coalesce(ds.n_dup_spans, 0) AS n_dup_spans,
@@ -2440,8 +2493,9 @@ def oracle_sql() -> dict[str, str]:
                      AS docs_with_dup_spans,
                    CAST(sum(cleaned_len) AS BIGINT) AS cleaned_chars,
                    CAST(sum(rl) AS BIGINT) AS removed_lines,
-                   CAST(sum(lc) AS BIGINT) AS line_cleaned_chars
-            FROM per_doc
+                   CAST(sum(lc) AS BIGINT) AS line_cleaned_chars,
+                   coalesce(any_value(hfin.hll_est), 0.0) AS hll_est
+            FROM per_doc LEFT JOIN hfin USING (source)
             GROUP BY source
         """,
         "minhash_signature": f"""
