@@ -192,6 +192,17 @@ def main() -> None:
         walls["select_by_token_budget"] = round(time.time() - t0, 2)
         assert budget_kept_tokens <= total_tokens // 2
 
+        # HLL sketch leg (round 6): the build emits at most 2^p rows per
+        # group no matter the input — wall should track the scan, output
+        # stays constant across scales
+        from daily_journal_dataflow_qc_spark.operators.sketches import (
+            hll_distinct,
+        )
+
+        t0 = time.time()
+        hll_val = float(hll_distinct(docs, "text", p=12).collect()[0][0])
+        walls["hll_distinct"] = round(time.time() - t0, 2)
+
         # corpus-prep legs (round 5): all three are scan-shaped — repetition
         # is a pure projection, packing is one shuffle keyed by pack_shard,
         # decontamination is explode + broadcast semi-join (the test split's
@@ -384,6 +395,7 @@ def main() -> None:
                     "dup_spans": {k: int(v or 0) for k, v in span_stats.items()},
                     "budget_total_tokens": total_tokens,
                     "budget_kept_tokens": budget_kept_tokens,
+                    "hll_distinct_est": hll_val,
                     "pack_bins": n_bins,
                     "contaminated_docs": n_contam,
                     "ann_n_planes": n_planes,
