@@ -114,14 +114,25 @@ def main() -> None:
         "SPARK_GRAFT_SCRATCH",
         "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
     )
-    spark = get_spark(
-        app_name="djdq-bench",
-        master=args.master,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "16m",
-            "spark.local.dir": os.path.join(scratch, "djdq_spark_local"),
-        },
-    )
+    conf = {
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.local.dir": os.path.join(scratch, "djdq_spark_local"),
+    }
+    # SPARK_GRAFT_EVENTLOG_DIR=<dir>: write the Spark event log so
+    # scripts/eventlog_decompose.py can split a run's wall into executor
+    # task time vs inter-job driver gaps (the non-scaling constant in the
+    # scaling-efficiency model)
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        conf.update(
+            {
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": ev_dir,
+                "spark.eventLog.rolling.enabled": "true",
+            }
+        )
+    spark = get_spark(app_name="djdq-bench", master=args.master, extra_conf=conf)
     warmup(spark)
     timings: dict[str, float] = {}
 
