@@ -61,6 +61,39 @@ def _bitlen(w: Column, maxbits: int) -> Column:
     return c.otherwise(F.lit(0))
 
 
+def hll_bucket_rho(
+    key: Column, p: int, seed: str = "hll"
+) -> tuple[Column, Column]:
+    """The per-row sketch projection (bucket, rho) as JVM columns — shared
+    by the batch build and the streaming cardinality stage (which maxes
+    them into keyed register state; hashing stays JVM-side either way)."""
+    m = 1 << p
+    h = seeded_hash(key.cast("string"), f"{seed}:")
+    bucket = F.pmod(h, F.lit(m)).cast("int")
+    w = F.shiftright(h, p)  # integer, exact — never h/m float division
+    rho = (F.lit(HASH_BITS - p) - _bitlen(w, HASH_BITS - p) + 1).cast("int")
+    return bucket, rho
+
+
+def py_hll_estimate(registers, p: int) -> float:
+    """Pure-Python replay of ``hll_estimate``'s arithmetic over a DENSE
+    register sequence (length 2^p, zeros = empty buckets) — the same
+    scaled-integer sum and single float division, so a streaming state
+    holding registers emits the IDENTICAL estimate the batch operator
+    would. Used by the streaming cardinality stage and the tests."""
+    import math
+
+    m = 1 << p
+    rmax = HASH_BITS - p + 1
+    num = _alpha(m) * m * m * float(1 << rmax)
+    total = sum(1 << (rmax - int(r)) for r in registers)
+    v = sum(1 for r in registers if int(r) == 0)
+    e = num / total
+    if e <= 2.5 * m and v > 0:
+        return round(m * math.log(m / v), 4)
+    return round(e, 4)
+
+
 def hll_registers(
     df: DataFrame,
     key_col: str,
@@ -76,11 +109,7 @@ def hll_registers(
     if not 4 <= p <= 16:
         raise ValueError(f"hll_registers: p={p} outside [4, 16]")
     groups = list(group_cols or [])
-    m = 1 << p
-    h = seeded_hash(F.col(key_col).cast("string"), f"{seed}:")
-    bucket = F.pmod(h, F.lit(m)).cast("int")
-    w = F.shiftright(h, p)  # integer, exact — never h/m float division
-    rho = (F.lit(HASH_BITS - p) - _bitlen(w, HASH_BITS - p) + 1).cast("int")
+    bucket, rho = hll_bucket_rho(F.col(key_col), p, seed)
     return (
         df.filter(F.col(key_col).isNotNull())
         .select(*groups, bucket.alias("bucket"), rho.alias("register"))

@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -227,6 +229,121 @@ def start_budget_admission_stream(
     )
     writer = (
         admitted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ------------------------------------------- streaming cardinality stage
+
+CARD_STATE_SCHEMA = StructType(
+    [
+        StructField("registers", ArrayType(IntegerType()), False),
+        StructField("n_seen", LongType(), False),
+    ]
+)
+
+CARD_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_seen", LongType(), False),
+        StructField("hll_est", DoubleType(), False),
+    ]
+)
+
+
+def _cardinality_fn(p: int):
+    """Factory: per-source HLL register state. The (bucket, rho) columns
+    arrive pre-computed JVM-side (sketches.hll_bucket_rho), so the state
+    function is a vectorized numpy max-scatter — no Python hashing."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.sketches import py_hll_estimate
+
+    m = 1 << p
+
+    def track(key, pdf_iter, state):
+        (source,) = key
+        if state.exists:
+            regs_list, n_seen = state.get
+            regs = np.array(regs_list, dtype=np.int64)
+            n_seen = int(n_seen)
+        else:
+            regs, n_seen = np.zeros(m, dtype=np.int64), 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            np.maximum.at(
+                regs,
+                pdf["bucket"].to_numpy(dtype=np.int64),
+                pdf["rho"].to_numpy(dtype=np.int64),
+            )
+            n_seen += len(pdf)
+        state.update(([int(x) for x in regs], n_seen))
+        yield pd.DataFrame(
+            {
+                "source": [source],
+                "n_seen": [n_seen],
+                "hll_est": [py_hll_estimate(regs, p)],
+            }
+        )
+
+    return track
+
+
+def start_distinct_count_stream(
+    spark: SparkSession,
+    admitted_loc: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    p: int = 12,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous distinct-content cardinality per source — the HLL sketch
+    (operators/sketches.py) carried as KEYED STREAMING STATE: each trigger
+    max-merges the batch's (bucket, rho) projections into the source's
+    register array and appends one (source, n_seen, hll_est) row.
+
+    This is what the sketch's mergeability buys in a stream: BOUNDED state
+    (2^p ints per source — never a hash set of everything seen) with the
+    estimate after batch k provably identical to the batch operator run
+    over batches 0..k's union (same registers, same scaled-integer
+    arithmetic; the test pins it). Registers survive restarts with the
+    checkpoint, so the count continues rather than resets — the same
+    storage-chained single-stateful-query pattern as the budget stage.
+    Rows with NULL text are ignored (no content to count)."""
+    _apply_stream_conf(spark)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sketches import hll_bucket_rho
+
+    options = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    docs = read_table(
+        spark, admitted_loc, ADMITTED_SCHEMA, streaming=True, options=options
+    )
+    bucket, rho = hll_bucket_rho(F.col("text"), p)
+    proj = docs.filter(F.col("text").isNotNull()).select(
+        "source", bucket.alias("bucket"), rho.alias("rho")
+    )
+    counted = proj.groupBy("source").applyInPandasWithState(
+        _cardinality_fn(p),
+        outputStructType=CARD_OUT_SCHEMA,
+        stateStructType=CARD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        counted.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

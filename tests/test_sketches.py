@@ -91,3 +91,70 @@ def test_hll_edges(spark):
     assert est["hll_est"] > 0
     with pytest.raises(ValueError, match="p="):
         hll_registers(df, "k", p=2)
+
+
+def test_streaming_distinct_count(spark, tmp_path):
+    """HLL registers as keyed streaming state (corpus_ingest.
+    start_distinct_count_stream): after each trigger the emitted estimate
+    equals the BATCH operator over the union of batches so far (identical
+    registers + arithmetic — mergeability is what makes the bounded state
+    correct), cross-batch duplicate texts never move it, and a restart
+    continues from the checkpointed registers instead of resetting."""
+    import time
+
+    from daily_journal_dataflow_qc_spark.streaming.corpus_ingest import (
+        start_distinct_count_stream,
+    )
+
+    in_dir = tmp_path / "adm"
+    in_dir.mkdir()
+    ts0 = pd.Timestamp("2025-06-01 12:00:00", tz="UTC")
+
+    def mk(ids, name):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(ids),
+                "text": [f"content number {i}" for i in ids],
+                "source": "s0",
+                "ts": ts0,
+                "quality_score": 1.0,
+                "top_2gram_frac": 0.0,
+                "lang_pred": "en",
+                "n_tokens": 3,
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+        pdf.to_parquet(in_dir / name)
+        time.sleep(1.1)  # mtime order = arrival order
+
+    mk(range(0, 40), "b0.parquet")
+    mk(range(30, 80), "b1.parquet")  # 10 cross-batch duplicates
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_distinct_count_stream(
+        spark, str(in_dir), out_dir, ck, p=6,
+        available_now=True, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("n_seen")
+    assert list(got.n_seen) == [40, 90]
+
+    def batch_est(hi):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": [f"content number {i}" for i in range(hi)]})
+        )
+        return hll_distinct(df, "k", p=6).collect()[0][0]
+
+    assert got.iloc[0].hll_est == pytest.approx(batch_est(40), abs=1e-6)
+    assert got.iloc[1].hll_est == pytest.approx(batch_est(80), abs=1e-6)
+
+    # restart: registers restore from the checkpoint, the count CONTINUES
+    mk(range(80, 100), "b2.parquet")
+    q2 = start_distinct_count_stream(
+        spark, str(in_dir), out_dir, ck, p=6,
+        available_now=True, max_files_per_trigger=1,
+    )
+    assert q2.awaitTermination(300)
+    final = spark.read.parquet(out_dir).toPandas().sort_values("n_seen").iloc[-1]
+    assert final.n_seen == 110
+    assert final.hll_est == pytest.approx(batch_est(100), abs=1e-6)
