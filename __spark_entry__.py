@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from daily_journal_dataflow_qc_spark.functions import text_metrics as TM
 
 
+# HLL precision for the dedup_exact_docs row's hll_est column — the ONE
+# knob both the Spark query and the DuckDB mirror derive from
+_HLL_P = 8
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -430,7 +435,7 @@ def q_dedup_exact_docs(spark, sf):
     cleaned = remove_duplicate_spans(d, duplicate_spans(d, k=8)).join(
         lines, "doc_id"
     )
-    hll = hll_distinct(d, "text", ["source"], p=8)
+    hll = hll_distinct(d, "text", ["source"], p=_HLL_P)
     return cleaned.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
@@ -1510,15 +1515,26 @@ def oracle_sql() -> dict[str, str]:
     )
     words = "string_split(lower(text), ' ')"
 
-    # HLL mirror constants (dedup_exact_docs row): p=8 -> m=256, rmax=53;
-    # the numerator is ONE python double shared with the Spark side
-    # (sketches.hll_estimate computes the identical expression)
-    from daily_journal_dataflow_qc_spark.operators.sketches import _alpha
+    # HLL mirror constants (dedup_exact_docs row) — every number below
+    # derives from the ONE knob _HLL_P, exactly as sketches.hll_estimate
+    # derives its own; the numerator is ONE python double shared with the
+    # Spark side so both engines perform the same single division
+    from daily_journal_dataflow_qc_spark.operators.sketches import (
+        HASH_BITS,
+        _alpha,
+    )
 
-    hll_num = repr(_alpha(256) * 256 * 256 * float(1 << 53))
+    hm = 1 << _HLL_P  # registers
+    hrmax = HASH_BITS - _HLL_P + 1  # scaled-sum exponent; rho = hrmax - bitlen
+    hll_num = repr(_alpha(hm) * hm * hm * float(1 << hrmax))
+    hll_lc_m = repr(float(hm))  # linear-counting m as a double literal
+    hll_small = repr(2.5 * hm)  # small-range switch threshold
     hll_bitlen = (
         "CASE "
-        + " ".join(f"WHEN w >= {1 << (k - 1)} THEN {k}" for k in range(52, 0, -1))
+        + " ".join(
+            f"WHEN w >= {1 << (k - 1)} THEN {k}"
+            for k in range(HASH_BITS - _HLL_P, 0, -1)
+        )
         + " ELSE 0 END"
     )
 
@@ -2441,30 +2457,30 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id
             ),
             hreg AS (
-              SELECT source, h % 256 AS bucket,
-                     MAX(53 - ({hll_bitlen})) AS register
+              SELECT source, h % {hm} AS bucket,
+                     MAX({hrmax} - ({hll_bitlen})) AS register
               FROM (
-                SELECT source, h, h >> 8 AS w
+                SELECT source, h, h >> {_HLL_P} AS w
                 FROM (SELECT source,
                              CAST(('0x' || substring(md5('hll:' || text), 1, 15))
                                AS BIGINT) AS h
                       FROM documents WHERE text IS NOT NULL)
               )
-              GROUP BY source, h % 256
+              GROUP BY source, h % {hm}
             ),
             hest AS (
               SELECT source,
-                     CAST(sum(CAST(1 AS BIGINT) << (53 - register))
-                          + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                     CAST(sum(CAST(1 AS BIGINT) << ({hrmax} - register))
+                          + ({hm} - count(*)) * (CAST(1 AS BIGINT) << {hrmax})
                           AS BIGINT) AS total,
-                     256 - count(*) AS v
+                     {hm} - count(*) AS v
               FROM hreg GROUP BY source
             ),
             hfin AS (
               SELECT source,
-                     round(CASE WHEN {hll_num} / CAST(total AS DOUBLE) <= 640.0
-                                     AND v > 0
-                                THEN 256.0 * ln(256.0 / v)
+                     round(CASE WHEN {hll_num} / CAST(total AS DOUBLE)
+                                       <= {hll_small} AND v > 0
+                                THEN {hll_lc_m} * ln({hll_lc_m} / v)
                                 ELSE {hll_num} / CAST(total AS DOUBLE) END,
                            4) AS hll_est
               FROM hest

@@ -157,7 +157,12 @@ def hll_estimate(
         F.count("*").alias("_nb"),
     )
     v = F.lit(m) - F.col("_nb")  # empty buckets
-    total = F.col("_s") + v.cast("long") * F.lit(1 << rmax).cast("long")
+    # coalesce: a GLOBAL agg over an empty register table yields one row
+    # with _s NULL / _nb 0 — all-empty registers must estimate 0.0
+    # (linear counting with v=m gives m*ln(1)), not NULL
+    total = F.coalesce(F.col("_s"), F.lit(0)) + v.cast("long") * F.lit(
+        1 << rmax
+    ).cast("long")
     e = F.lit(num) / total.cast("double")
     est = F.when(
         (e <= F.lit(2.5 * m)) & (v > 0),

@@ -271,6 +271,13 @@ def _cardinality_fn(p: int):
         (source,) = key
         if state.exists:
             regs_list, n_seen = state.get
+            if len(regs_list) != m:
+                raise ValueError(
+                    f"distinct-count state for source {source!r} holds "
+                    f"{len(regs_list)} registers but p={p} needs {m} — the "
+                    "stream was restarted with a different p than its "
+                    "checkpoint; registers are not convertible across p"
+                )
             regs = np.array(regs_list, dtype=np.int64)
             n_seen = int(n_seen)
         else:
