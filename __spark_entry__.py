@@ -366,13 +366,26 @@ def q_text_metrics(spark, sf):
     # doc grain as (n_chunks, chunk_tokens_total, md5 digest of the
     # chunk_idx-ordered '|'-joined chunk texts) — the digest pins every
     # chunk BOUNDARY and every chunk's TEXT, not just counts
-    from daily_journal_dataflow_qc_spark.operators.packing import chunk_documents
+    # r07: the chunk aggregates are computed from ``chunk_structs`` — the
+    # projection whose posexplode IS chunk_documents — so the row-local
+    # chunk list never round-trips through explode -> groupBy -> join
+    # back; n_chunks / chunk_tokens_total / chunks_digest are the same
+    # values (the digest's chunk_idx order is the construction order of
+    # the struct array), and the whole query is ONE scan projection with
+    # no exchange at all. NULL-text docs keep the left-join convention
+    # (all three chunk columns null).
+    from daily_journal_dataflow_qc_spark.operators.packing import chunk_structs
 
     d = _t(spark, sf, "documents")
     lc = F.lower(F.col("text"))
     padded = F.concat(F.lit(" "), F.array_join(F.split(lc, " ", -1), "  "), F.lit(" "))
     dashed = F.replace(lc, F.lit("table"), F.lit("ta-table"))
-    metrics = d.select(
+    # materialize the chunk array in its own Project (CollapseProject keeps
+    # non-cheap multi-referenced exprs apart) — three consumers below
+    d = d.withColumn("_chunks", chunk_structs(max_tokens=8, overlap=2))
+    chunks = F.col("_chunks")
+    has_text = F.col("text").isNotNull()
+    return d.select(
         "doc_id",
         TM.word_count(lc).cast("long").alias("word_count"),
         TM.substr_count(lc, "table").cast("long").alias("n_table"),
@@ -381,21 +394,18 @@ def q_text_metrics(spark, sf):
         F.regexp_count(padded, F.lit("[^a-z](a|the)[^a-z]")).cast("long").alias("n_matches"),
         TM.stutter_repeats(dashed).cast("long").alias("n_stutters"),
         TM.word_repeats(lc).cast("long").alias("n_repeats"),
-    )
-    chunks = chunk_documents(d, max_tokens=8, overlap=2).groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_chunks"),
-        F.sum("chunk_tokens").cast("long").alias("chunk_tokens_total"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                    lambda s: s["chunk_text"],
-                ),
-                "|",
-            )
+        F.when(has_text, F.size(chunks).cast("long")).alias("n_chunks"),
+        F.when(
+            has_text,
+            F.aggregate(
+                chunks, F.lit(0).cast("long"), lambda a, c: a + c["k"]
+            ).cast("long"),
+        ).alias("chunk_tokens_total"),
+        F.when(
+            has_text,
+            F.md5(F.array_join(F.transform(chunks, lambda c: c["t"]), "|")),
         ).alias("chunks_digest"),
     )
-    return metrics.join(chunks, "doc_id", "left")
 
 
 def q_dedup_exact_docs(spark, sf):
@@ -475,9 +485,9 @@ def q_minhash_signature(spark, sf):
     from daily_journal_dataflow_qc_spark.operators.packing import pack_sequences
     from daily_journal_dataflow_qc_spark.operators.sampling import (
         dsir_logweights,
+        epoch_counts,
         hash_split,
-        mixture_epochs,
-        mixture_sample,
+        mixture_keep,
         stratified_sample,
     )
 
@@ -489,33 +499,37 @@ def q_minhash_signature(spark, sf):
         # index to a second parameter, which would corrupt the seed
         return lambda x: _hex_hash(F.concat(F.lit(seed), x))
 
-    cols = [
-        F.array_min(F.transform(wds, seed_hash(f"s{i}:"))).alias(f"mh{i}")
-        for i in range(4)
-    ]
+    # r07 (guide §2.3/§2.4): the minhash columns and the token count are
+    # PROJECTED AT THE SCAN and ``text`` dropped, so the two window
+    # exchanges (stratified rank on source, packing on shard) shuffle 4
+    # longs per row instead of the document body; mixture_kept and
+    # n_epochs are the oracle's own pure per-row hash expressions — the
+    # previous plan materialized each via a corpus scan + aggregate +
+    # broadcast join (n_epochs even round-tripped through an explode whose
+    # count is by construction the epoch_counts value), which the oracle
+    # never needed. Plan: 4 scans/2 joins, was 7 scans/4 joins.
+    base = d.select(
+        "doc_id",
+        "source",
+        *[
+            F.array_min(F.transform(wds, seed_hash(f"s{i}:"))).alias(f"mh{i}")
+            for i in range(4)
+        ],
+        F.size(wds).alias("n_tokens"),
+    )
     split_docs = hash_split(d, "doc_id")
     sampled = stratified_sample(
-        split_docs, "source", 0, "doc_id", rank_col="stratum_rank"
+        hash_split(base, "doc_id"), "source", 0, "doc_id", rank_col="stratum_rank"
     )
     in_sample = (
         F.pmod(_hex_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), F.lit(1_000_000))
         < 100_000
     )
-    packed = pack_sequences(
-        sampled.withColumn("n_tokens", F.size(wds)), 256, n_shards=8
-    )
+    packed = pack_sequences(sampled, 256, n_shards=8)
     flagged = contaminated_ids(
         split_docs.filter(F.col("split") != "test"),
         split_docs.filter(F.col("split") == "test"),
     ).withColumn("_contam", F.lit(True))
-    mixed = mixture_sample(
-        d, {"src0": 0.9, "src1": 0.5, "src2": 0.1}, default_rate=0.3
-    ).select("doc_id", F.lit(True).alias("_mix"))
-    epochs = (
-        mixture_epochs(d, {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default_epochs=0.5)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("_n_ep"))
-    )
     # (round 6) DSIR importance weight (operators/sampling.py: hashed
     # unigram+bigram target-vs-raw log-likelihood ratio, add-0.01 over 10k
     # buckets) against a deterministic target slice (doc_id % 10 == 0 — the
@@ -523,12 +537,13 @@ def q_minhash_signature(spark, sf):
     dsir = dsir_logweights(d, d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0))
     return (
         packed.join(F.broadcast(flagged), "doc_id", "left")
-        .join(F.broadcast(mixed), "doc_id", "left")
-        .join(F.broadcast(epochs), "doc_id", "left")
         .join(F.broadcast(dsir), "doc_id", "left")
         .select(
             "doc_id",
-            *cols,
+            "mh0",
+            "mh1",
+            "mh2",
+            "mh3",
             "split",
             in_sample.alias("in_sample_10pct"),
             F.col("stratum_rank").cast("int").alias("stratum_rank"),
@@ -536,8 +551,12 @@ def q_minhash_signature(spark, sf):
             "pack_bin",
             "pack_pos",
             F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
-            F.coalesce(F.col("_mix"), F.lit(False)).alias("mixture_kept"),
-            F.coalesce(F.col("_n_ep"), F.lit(0)).alias("n_epochs"),
+            mixture_keep({"src0": 0.9, "src1": 0.5, "src2": 0.1}, default_rate=0.3).alias(
+                "mixture_kept"
+            ),
+            epoch_counts(
+                {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default_epochs=0.5
+            ).alias("n_epochs"),
             F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias("dsir_logweight"),
         )
     )

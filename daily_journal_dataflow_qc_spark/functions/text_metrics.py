@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .arrays import bind_array
+
 NONVERBAL_EDIT_PATTERN = "[^a-z]u+[hm]+[^a-z]"
 
 
@@ -85,14 +87,19 @@ def stutter_repeats(col: Column) -> Column:
 
 
 def word_repeats(col: Column) -> Column:
-    """Adjacent tokens equal after comma removal (F9, W7)."""
-    arr = words(col)
-    pairs = F.zip_with(
-        F.slice(arr, 1, F.size(arr) - 1),
-        F.slice(arr, 2, F.size(arr) - 1),
-        lambda a, b: (F.translate(a, ",", "") == F.translate(b, ",", "")).cast("int"),
-    )
-    return F.coalesce(F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x), F.lit(0)).cast("int")
+    """Adjacent tokens equal after comma removal (F9, W7). The split array
+    is bound once (bind_array): the two slices and their size arguments
+    would otherwise each re-split the text (4 splits per row)."""
+
+    def count_pairs(arr: Column) -> Column:
+        pairs = F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: (F.translate(a, ",", "") == F.translate(b, ",", "")).cast("int"),
+        )
+        return F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+
+    return F.coalesce(bind_array(words(col), count_pairs), F.lit(0)).cast("int")
 
 
 def restarts(col: Column) -> Column:

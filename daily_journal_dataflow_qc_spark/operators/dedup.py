@@ -49,18 +49,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.arrays import bind_array
 from ..functions.hashing import seeded_hash
 
 
 def word_shingles(text_lc: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles; short docs fall back to the whole text."""
-    w = F.split(text_lc, " ", -1)
-    full = F.transform(
-        F.sequence(F.lit(1), F.size(w) - k + 1),
-        lambda i: F.array_join(F.slice(w, i, k), " "),
-    )
+    """Distinct k-word shingles; short docs fall back to the whole text.
+    The split array is bound once (bind_array): slicing it per position
+    inside the transform lambda would re-split the text per gram."""
     return F.array_distinct(
-        F.when(F.size(w) >= k, full).otherwise(F.array(F.array_join(w, " ")))
+        bind_array(
+            F.split(text_lc, " ", -1),
+            lambda w: F.when(
+                F.size(w) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - k + 1),
+                    lambda i: F.array_join(F.slice(w, i, k), " "),
+                ),
+            ).otherwise(F.array(F.array_join(w, " "))),
+        )
     )
 
 
@@ -446,14 +453,16 @@ def duplicate_spans(
     over-flag a span (never corrupt positions); the DuckDB mirror groups
     the gram STRINGS, so the sf0.01 hash check also certifies collision
     absence at test scale."""
-    words = F.split(F.col(text_col), " ", -1)
-    grams = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - k + 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(words, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    grams = bind_array(
+        F.split(F.col(text_col), " ", -1),
+        lambda w: F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - k + 1),
+                lambda i: F.xxhash64(F.array_join(F.slice(w, i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
     events = df.select(F.col(id_col), F.posexplode(grams).alias("_p0", "ghash")).select(
         id_col, (F.col("_p0") + 1).alias("pos"), "ghash"
     )
@@ -541,18 +550,26 @@ def remove_duplicate_spans(
 
 
 def simhash(text_lc: Column, bits: int = 16) -> Column:
-    """b-bit simhash: per-word hash, each bit voted +1/-1 by all words."""
-    hashes = F.transform(F.split(text_lc, " ", -1), lambda x: seeded_hash(x, "sim:"))
+    """b-bit simhash: per-word hash, each bit voted +1/-1 by all words.
+    The per-word hash array is bound once (bind_array): the ``bits``
+    separate vote folds would otherwise each re-split AND re-hash every
+    word — ``bits`` full md5 passes per row instead of one."""
 
     def bit_vote(j: int):
         # factory: F.aggregate's merge lambda must take EXACTLY two params
         return lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
 
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
-        acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    def votes(hashes: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(bits):
+            vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
+            acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return acc
+
+    return bind_array(
+        F.transform(F.split(text_lc, " ", -1), lambda x: seeded_hash(x, "sim:")),
+        votes,
+    )
 
 
 def simhash_near_dups(

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.arrays import bind_array
 from ..functions.hashing import seeded_hash
 from ..functions.text_metrics import words
 
@@ -72,6 +73,41 @@ def pack_sequences(
     )
 
 
+def chunk_structs(
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+) -> Column:
+    """The chunk list of one document as a COLUMN: array of structs
+    ``(t: chunk text, k: chunk token count)`` in chunk order —
+    ``chunk_documents`` is exactly the posexplode of this. Exposed so
+    doc-grain chunk AGGREGATES (count / token total / order-pinned digest)
+    can be computed as a pure projection instead of explode -> groupBy ->
+    join back (the chunk list never leaves the row that produced it)."""
+    if max_tokens < 1 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            "chunk_documents: need max_tokens >= 1 and 0 <= overlap < max_tokens"
+        )
+    step = max_tokens - overlap
+
+    def chunks_of(w: Column) -> Column:
+        n = F.size(w)
+        # chunk starts 1, 1+step, ... — last start covers the tail once
+        n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1))
+        starts = F.sequence(F.lit(1), (n_chunks - 1) * step + 1, F.lit(step))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.array_join(F.slice(w, s, max_tokens), " ").alias("t"),
+                F.least(F.lit(max_tokens), n - s + 1).alias("k"),
+            ),
+        )
+
+    # token array bound once (bind_array): slicing it per chunk inside the
+    # transform lambda would re-split the text per chunk
+    return bind_array(words(F.col(text_col)), chunks_of)
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int,
@@ -93,23 +129,7 @@ def chunk_documents(
     no shuffle, output rows ~ total_tokens / (max_tokens - overlap);
     chunk_tokens comes from the slice bounds (integer arithmetic), not a
     second scan of the chunk text."""
-    if max_tokens < 1 or overlap < 0 or overlap >= max_tokens:
-        raise ValueError(
-            "chunk_documents: need max_tokens >= 1 and 0 <= overlap < max_tokens"
-        )
-    step = max_tokens - overlap
-    w = words(F.col(text_col))  # canonical literal-space tokenization
-    n = F.size(w)
-    # chunk starts 1, 1+step, ... — last start covers the tail exactly once
-    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1))
-    starts = F.sequence(F.lit(1), (n_chunks - 1) * step + 1, F.lit(step))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            F.array_join(F.slice(w, s, max_tokens), " ").alias("t"),
-            F.least(F.lit(max_tokens), n - s + 1).alias("k"),
-        ),
-    )
+    chunks = chunk_structs(max_tokens, overlap, text_col)
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.arrays import bind_array
 from ..functions.hashing import seeded_hash
 
 # hash buckets per unit of weight resolution: 1e6 gives ppm-exact split
@@ -85,22 +86,17 @@ def hash_sample(
     return df.filter(_bucket(F.col(key_col), f"{seed}:") < cut)
 
 
-def mixture_sample(
-    df: DataFrame,
+def mixture_keep(
     rates: dict[str, float],
     source_col: str = "source",
     key_col: str = "doc_id",
     seed: str = "mix",
     default_rate: float = 0.0,
-) -> DataFrame:
-    """Weighted corpus mixture: keep each row with ITS SOURCE'S rate — the
-    domain-weighted sampling every published pretraining mixture uses
-    (web 0.1, books 0.9, ...; public practice). Per-source Bernoulli by the
-    portable hash of ``source:key``, so draws are independent across
-    sources, reproducible under any partitioning, and engine-mirrorable.
-    Sources absent from ``rates`` — including a NULL source — keep
-    ``default_rate`` (0 = dropped). Pure projection predicate — no
-    shuffle, pushes into the scan."""
+) -> Column:
+    """The ``mixture_sample`` keep-predicate as a pure COLUMN (never null):
+    callers annotating at row grain (e.g. a flag column next to other
+    assignments) use this directly instead of a filter + self-join — the
+    draw is a projection, so materializing it as a boolean costs nothing."""
     if any(not 0 <= r <= 1 for r in rates.values()) or not 0 <= default_rate <= 1:
         raise ValueError("mixture_sample: rates must be in [0, 1]")
     cut = None
@@ -122,7 +118,28 @@ def mixture_sample(
         ),
         f"{seed}:",
     )
-    return df.filter(b < cut)
+    return b < cut
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted corpus mixture: keep each row with ITS SOURCE'S rate — the
+    domain-weighted sampling every published pretraining mixture uses
+    (web 0.1, books 0.9, ...; public practice). Per-source Bernoulli by the
+    portable hash of ``source:key``, so draws are independent across
+    sources, reproducible under any partitioning, and engine-mirrorable.
+    Sources absent from ``rates`` — including a NULL source — keep
+    ``default_rate`` (0 = dropped). Pure projection predicate — no
+    shuffle, pushes into the scan."""
+    return df.filter(
+        mixture_keep(rates, source_col, key_col, seed, default_rate)
+    )
 
 
 def epoch_counts(
@@ -202,17 +219,25 @@ def _hashed_ngram_events(
     """(id, bucket) hashed-feature events: word unigrams + bigrams (the DSIR
     feature space) through the portable hash into ``n_buckets``. Literal-space
     split with empties dropped; docs under 2 words emit unigrams only.
-    Pure projection + one explode — no shuffle until the caller aggregates."""
+    Pure projection + one explode — no shuffle until the caller aggregates;
+    the token array is bound once (bind_array) so the per-position bigram
+    slices do not re-split the text (O(n^2)/row otherwise)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != "")
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
+    feats = bind_array(
+        words,
+        lambda w: F.concat(
+            w,
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.array_join(F.slice(w, i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
     return df.select(
-        F.col(id_col), F.explode(F.concat(words, bigrams)).alias("_feat")
+        F.col(id_col), F.explode(feats).alias("_feat")
     ).select(
         id_col,
         F.pmod(seeded_hash(F.col("_feat"), f"{seed}:"), F.lit(n_buckets)).alias(
@@ -244,51 +269,72 @@ def dsir_logweights(
     Output: (id_col, weight_col) — zero-feature docs are absent (callers
     left-join, same convention as the other doc-grain scorers).
 
-    Distributed shape: two bucket-keyed count shuffles (target + raw; both
-    map-side combined, output <= n_buckets rows each), each DENSIFIED
-    against range(n_buckets) with its corpus total attached by a window
-    over the 10k-row table — so every corpus is scanned EXACTLY once (a
-    separate ``.agg(sum)`` total would duplicate the whole count subtree,
-    i.e. a second full-corpus pass, because nothing is cached), and the
-    join-back onto the exploded raw docs is a plain inner broadcast with
-    no crossJoin and no null-bucket edge case. The bucket tables are
-    bounded by construction (n_buckets, not vocabulary), so the broadcast
-    NEVER outgrows the hint — hashing is what makes DSIR's statistics
-    O(1) in corpus size."""
+    Distributed shape (r07: ONE raw-corpus pass, was two): the raw corpus
+    is exploded ONCE into hashed-feature events and immediately reduced to
+    per-(doc, bucket) counts with map-side combine; the raw bucket
+    distribution is then a second, tiny aggregation OVER those counts (<=
+    n_buckets rows), never a re-explode of the corpus. The target corpus
+    gets its own bucket-keyed count shuffle (map-side combined). Both
+    distributions and their totals live in ONE <= n_buckets-row stats
+    table (full-outer bucket merge + a single-partition window for the two
+    totals — a one-task stage over a bounded table), broadcast once; the
+    per-doc weight is the bucket-count-weighted sum of the per-bucket
+    log-ratio. No densification against range(n_buckets) is needed: absent
+    buckets carry zero counts (coalesce) and contribute zero to the
+    totals. The bucket tables are bounded by construction (n_buckets, not
+    vocabulary), so the broadcast NEVER outgrows the hint — hashing is
+    what makes DSIR's statistics O(1) in corpus size."""
     if n_buckets < 2:
         raise ValueError("dsir_logweights: n_buckets must be >= 2")
     if alpha <= 0:
         raise ValueError("dsir_logweights: alpha must be > 0 (smoothing)")
-    events = _hashed_ngram_events(df, text_col, id_col, n_buckets, seed)
-
-    def dist(e: DataFrame, name: str) -> DataFrame:
-        c = e.groupBy("_bucket").agg(F.count("*").alias(f"_c_{name}"))
-        dense = (
-            df.sparkSession.range(n_buckets)
-            .select(F.col("id").alias("_bucket"))
-            .join(c, ["_bucket"], "left")
-            .select(
-                "_bucket",
-                F.coalesce(F.col(f"_c_{name}"), F.lit(0)).alias(f"_c_{name}"),
-            )
-            .withColumn(
-                f"_t_{name}", F.sum(f"_c_{name}").over(Window.partitionBy())
-            )
-        )
-        return F.broadcast(dense)
-
-    tdist = dist(
-        _hashed_ngram_events(target_df, text_col, id_col, n_buckets, seed), "t"
+    # NULL-id rows are excluded up front: a per-doc weight for a null id is
+    # ill-defined (they could only contribute to the raw distribution's
+    # denominator). Placing this filter — and the no-op isnotnull(_bucket)
+    # that the inner stats join would infer anyway — EXPLICITLY in the
+    # shared subtree keeps dbc's two consumers canonically identical, so
+    # the (doc, bucket) exchange is REUSED instead of the corpus being
+    # exploded twice (constraint-inference would otherwise push these
+    # predicates into only one consumer and break the reuse — measured:
+    # that one canonicalization miss doubles the operator's corpus cost).
+    events = _hashed_ngram_events(
+        df.filter(F.col(id_col).isNotNull()), text_col, id_col, n_buckets, seed
     )
-    rdist = dist(events, "r")
+    # (doc, bucket) counts: the ONLY pass over the exploded raw corpus
+    dbc = (
+        events.filter(F.col("_bucket").isNotNull())
+        .groupBy(id_col, "_bucket")
+        .agg(F.count("*").alias("_n"))
+    )
+    rc = dbc.groupBy("_bucket").agg(F.sum("_n").alias("_c_r"))
+    tc = (
+        _hashed_ngram_events(target_df, text_col, id_col, n_buckets, seed)
+        .groupBy("_bucket")
+        .agg(F.count("*").alias("_c_t"))
+    )
+    # bucket merge as a UNION + re-aggregate (not a full-outer join, which
+    # would plan a SortMergeJoin even for these <= n_buckets-row tables)
+    stats = (
+        rc.select("_bucket", "_c_r", F.lit(0).cast("long").alias("_c_t"))
+        .unionAll(
+            tc.select("_bucket", F.lit(0).cast("long").alias("_c_r"), "_c_t")
+        )
+        .groupBy("_bucket")
+        .agg(F.sum("_c_r").alias("_c_r"), F.sum("_c_t").alias("_c_t"))
+        .withColumns(
+            {
+                "_t_r": F.sum("_c_r").over(Window.partitionBy()),
+                "_t_t": F.sum("_c_t").over(Window.partitionBy()),
+            }
+        )
+    )
     contrib = F.log(
         (F.col("_c_t") + alpha) / (F.col("_t_t") + alpha * n_buckets)
     ) - F.log((F.col("_c_r") + alpha) / (F.col("_t_r") + alpha * n_buckets))
     return (
-        events.join(tdist, ["_bucket"])
-        .join(rdist, ["_bucket"])
+        dbc.join(F.broadcast(stats), ["_bucket"])
         .groupBy(id_col)
-        .agg(F.round(F.sum(contrib), 4).alias(weight_col))
+        .agg(F.round(F.sum(F.col("_n") * contrib), 4).alias(weight_col))
     )
 
 

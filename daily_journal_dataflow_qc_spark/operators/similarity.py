@@ -546,6 +546,16 @@ def ivf_knn(
     spark = embeddings.sparkSession
     if assigned is None:
         return spark.createDataFrame([], KNN_SCHEMA)
+    if (
+        max_cell_rows is not None
+        and n_rows_hint is not None
+        and n_rows_hint <= max_cell_rows
+    ):
+        # no cell can exceed the split threshold when the WHOLE input fits
+        # under it — skip the per-cell count aggregate + broadcast join +
+        # explode of the split machinery outright (provably identical:
+        # every cell would get n_sub = 1)
+        max_cell_rows = None
 
     raw_schema = "vec_id long, nn_id long, cos_sim double"
 

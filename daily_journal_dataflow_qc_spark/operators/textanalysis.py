@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import bind_array
 from ..functions.hashing import seeded_hash
 
 STOPWORDS = {
@@ -83,14 +84,19 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) -> DataF
     fingerprint sets => near-identical docs)."""
     lc = F.lower(F.col(text_col))
     words = F.filter(F.split(lc, " ", -1), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: seeded_hash(F.array_join(F.slice(words, i, 3), " "), "fp:"),
+    grams = bind_array(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+            lambda i: seeded_hash(F.array_join(F.slice(w, i, 3), " "), "fp:"),
+        ),
     )
-    n = F.size(grams)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
-        lambda i: F.array_min(F.slice(grams, i, window)),
+    mins = bind_array(
+        grams,
+        lambda g: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(g) - window + 1, F.lit(1))),
+            lambda i: F.array_min(F.slice(g, i, window)),
+        ),
     )
     return df.withColumn("fingerprints", F.array_distinct(mins)).withColumn(
         "fingerprint", seeded_hash(F.array_join(F.sort_array("fingerprints").cast("array<string>"), ","), "doc:")
@@ -100,13 +106,18 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) -> DataF
 def ngram_list(words: Column, k: int) -> Column:
     """Contiguous word k-grams WITH duplicates (repetition metrics need the
     multiset; dedup's ``word_shingles`` distincts). Docs under k words fall
-    back to one whole-text gram, so the list is never empty."""
-    full = F.transform(
-        F.sequence(F.lit(1), F.size(words) - k + 1),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
-    )
-    return F.when(F.size(words) >= k, full).otherwise(
-        F.array(F.array_join(words, " "))
+    back to one whole-text gram, so the list is never empty. ``words`` is
+    bound once (bind_array) — slicing it per position inside the transform
+    lambda would otherwise re-evaluate the split per gram, O(n^2)/row."""
+    return bind_array(
+        words,
+        lambda w: F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - k + 1),
+                lambda i: F.array_join(F.slice(w, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(w, " "))),
     )
 
 
@@ -180,22 +191,34 @@ def tfidf_doc_scores(
     ``ln((N+1)/(df_t+1)) + 1`` (public formula) and length-normalized TF.
     Docs with zero non-empty terms are absent (callers left-join).
 
-    Distributed shape — the corpus-statistics round-trip: one shuffle to
-    (doc, term) counts, a term-keyed partial agg for document frequency, a
-    1-row broadcast for N, then the IDF table joins BACK onto the counts.
-    ``broadcast_idf`` fits when the vocabulary obeys Heaps' law at the
-    corpus size; at web scale with an unpruned vocabulary, pass False and
-    let the term join shuffle (or pre-prune with a min-df filter)."""
+    Distributed shape — the corpus-statistics round-trip, r07 form: the
+    doc length rides the term explode as a per-event column (it is just
+    ``size`` of the token array), so the (doc, term) counts carry ``_len``
+    for free and the former doc-keyed length aggregation + join — a third
+    full corpus explode in the executed plan — disappears. Document
+    frequency comes from a SECOND, smaller explode of the per-doc DISTINCT
+    term set straight into a term-keyed map-side-combined count (one row
+    per (doc, term), never one per token, and no (doc, term) exchange on
+    that branch). Two corpus passes, three exchanges total ((doc,term),
+    term, doc). A 1-row broadcast for N, then the IDF table joins BACK
+    onto the counts. ``broadcast_idf`` fits when the vocabulary obeys
+    Heaps' law at the corpus size; at web scale with an unpruned
+    vocabulary, pass False and let the term join shuffle (or pre-prune
+    with a min-df filter)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != "")
     tc = (
-        df.select(F.col(id_col), F.explode(words).alias("term"))
+        df.select(
+            F.col(id_col),
+            F.explode(words).alias("term"),
+            F.size(words).alias("_len"),
+        )
         .groupBy(id_col, "term")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt"), F.first("_len").alias("_len"))
     )
-    doclen = tc.groupBy(id_col).agg(F.sum("cnt").alias("_len"))
     n_docs = df.select(F.count("*").alias("_n"))
     idf = (
-        tc.groupBy("term")
+        df.select(F.explode(F.array_distinct(words)).alias("term"))
+        .groupBy("term")
         .agg(F.count("*").alias("_dft"))
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -206,8 +229,7 @@ def tfidf_doc_scores(
     idf = F.broadcast(idf) if broadcast_idf else idf
     w = (F.col("cnt") / F.col("_len")) * F.col("_idf")
     return (
-        tc.join(doclen, id_col)
-        .join(idf, "term")
+        tc.join(idf, "term")
         .groupBy(id_col)
         .agg(
             F.round(F.avg(w), 4).alias("tfidf_mean"),
@@ -223,15 +245,19 @@ def _bigram_events(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Tokens are the literal-space split with empties dropped (the corpus
     tokenization every other text operator here uses). Zero-token docs emit
     no events (callers left-join). Pure projection + one posexplode — no
-    shuffle until the caller aggregates."""
+    shuffle until the caller aggregates; the token array is bound once
+    (bind_array) so per-position indexing does not re-split the text."""
     words = F.filter(F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != "")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(words)),
-        lambda i: F.struct(
-            F.when(i == 1, F.lit("<s>"))
-            .otherwise(F.element_at(words, (i - 1).cast("int")))
-            .alias("prev"),
-            F.element_at(words, i.cast("int")).alias("cur"),
+    pairs = bind_array(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.size(w)),
+            lambda i: F.struct(
+                F.when(i == 1, F.lit("<s>"))
+                .otherwise(F.element_at(w, (i - 1).cast("int")))
+                .alias("prev"),
+                F.element_at(w, i.cast("int")).alias("cur"),
+            ),
         ),
     )
     return (
@@ -290,17 +316,21 @@ def ngram_lm_perplexity(
         F.count("*").alias("_cpc")
     ).persist()
     contexts = bigrams.groupBy("prev").agg(F.sum("_cpc").alias("_cp"))
-    vocab = bigrams.select(F.countDistinct("cur").alias("_v"))
+    # vocab size as ONE bounded driver scalar off the persisted (vocab-
+    # bounded, never corpus-bounded) LM table — r07: replaces a
+    # crossJoin(broadcast(1-row frame)) whose BroadcastNestedLoopJoin sat
+    # on the corpus-sized scoring side and cost a separate broadcast-build
+    # job; as a literal it also null-safely survives unseen contexts
+    v = bigrams.agg(F.countDistinct("cur").alias("_v")).head()[0] or 0
     if broadcast_lm:
         bigrams, contexts = F.broadcast(bigrams), F.broadcast(contexts)
     logp = F.log(
         (F.coalesce(F.col("_cpc"), F.lit(0)) + k)
-        / (F.coalesce(F.col("_cp"), F.lit(0)) + k * (F.col("_v") + 1))
+        / (F.coalesce(F.col("_cp"), F.lit(0)) + k * (F.lit(v) + 1))
     )
     return (
         events.join(bigrams, ["prev", "cur"], "left")
         .join(contexts, ["prev"], "left")
-        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("lm_tokens"),

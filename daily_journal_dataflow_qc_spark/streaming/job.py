@@ -161,8 +161,34 @@ def turn_projection(turns: DataFrame) -> DataFrame:
 def session_qc_aggregate(projected: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Watermarked session-window diary assembly with full QC sums."""
     gap = f"{cfg.session_gap_minutes} minutes"
+    # EXPLICIT projection to the aggregate's inputs before the stateful
+    # chain (guide §2.3: project before the exchange): the dedup operator
+    # emits its child's full row set and Catalyst does not prune through
+    # it, so without this select the redacted ``text`` AND ``text_lc``
+    # (the two widest columns, ~6x the metric payload) would ride the
+    # (conv_id, turn_idx) dedup exchange and the conv_id session-window
+    # exchange — pure shuffle weight no downstream consumer reads (the
+    # per-turn sink rebuilds text from a pruned re-read of the source).
     deduped = (
-        projected.withWatermark("ts", cfg.watermark_delay)
+        projected.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            "tool",
+            "violated",
+            "role",
+            "word_count",
+            "inaudible_count",
+            "questionable_count",
+            "other_bracketed_words",
+            "redactions",
+            "nonverbal_edits",
+            "verbal_edits",
+            "repeats",
+            "restarts",
+            "is_ascii",
+        )
+        .withWatermark("ts", cfg.watermark_delay)
         .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
     )
     agg = deduped.groupBy("conv_id", F.session_window("ts", gap)).agg(

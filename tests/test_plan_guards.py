@@ -299,19 +299,20 @@ def test_similarity_ivf_plan_shape(spark):
 def test_assignments_row_plan_shape(spark):
     """Scale pins for the doc-grain assignments row (minhash_signature =
     signatures + sampling + packing + decontamination + mixture flag +
-    multi-epoch counts + DSIR log-weight): every join is a broadcast (the
-    test-gram semi-join, the flagged-ids / mixture-kept / n-epochs / dsir
-    outer joins, and DSIR's dense-bucket join-backs — never
-    SortMergeJoin/cartesian), no Python anywhere, and the only exchanges
-    are the two window partitionings (stratum source, pack shard), the
-    flagged-id distinct, the n_epochs doc-grain re-aggregation (the price
-    of hash-checking mixture_epochs END-TO-END through its explode; the
-    mixture flag itself is a pure projection predicate on the same scan —
-    broadcast, NOT a shuffle), and DSIR's shape: exactly ONE bucket-keyed
-    count exchange per corpus (a regression to the duplicated
-    count-subtree total — a second full-corpus pass — shows up here as a
-    4th/5th bucket exchange), two 10k-row SinglePartition window totals,
-    and the doc-grain weight agg."""
+    multi-epoch counts + DSIR log-weight), r07 shape: the mixture flag AND
+    the epoch count are pure per-row projections (no scan, no aggregate,
+    no join — exactly what the DuckDB oracle computes), so the only
+    broadcast joins left are the test-gram semi-join, the flagged-ids and
+    dsir outer joins, and DSIR's stats join-back (4 total — never
+    SortMergeJoin/cartesian/BNLJ), no Python anywhere, and the only
+    exchanges are the two window partitionings (stratum source, pack shard
+    — which since r07 carry the minhash longs, NOT the document text), the
+    gram + flagged-id distincts, and DSIR's shape: the raw corpus is
+    exploded ONCE into a (doc, bucket) count exchange that is REUSED by
+    the bucket-distribution branch (the ReusedExchange assertion — a
+    canonicalization regression shows up as a second corpus explode), one
+    bucket-keyed count exchange per corpus side, ONE 10k-row
+    SinglePartition window total, and the doc-grain weight agg."""
     import os
 
     import __spark_entry__ as entry_mod
@@ -327,7 +328,8 @@ def test_assignments_row_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan  # Batch- and ArrowEvalPython
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("BroadcastHashJoin") == 9, plan
+    assert final.count("BroadcastHashJoin") == 4, plan
+    assert "ReusedExchange" in final, plan  # dsir: ONE corpus explode
     n_shuffles = sum(
         1
         for l in final.splitlines()
@@ -340,6 +342,12 @@ def test_assignments_row_plan_shape(spark):
         if "Exchange hashpartitioning(_bucket" in l
     )
     assert n_bucket_shuffles == 2, plan
+    # the window sorts must not carry the document text (r07: minhash
+    # columns are projected at the scan, text is dropped before the first
+    # exchange); the stratum-rank Window's spec lists its input ordering —
+    # its subtree sorts rows that contain mh0, never text
+    pack_window = [l for l in final.splitlines() if "Window" in l and "pack" in l]
+    assert pack_window and all("text#" not in l for l in pack_window), plan
 
 
 def test_prepare_corpus_composed_plan_shape(spark):
