@@ -207,10 +207,15 @@ def tfidf_doc_scores(
     with a min-df filter)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != "")
     tc = (
-        df.select(
+        # token array materialized in its own Project before the Generate:
+        # a sibling size(words) next to explode(words) in one select makes
+        # the Generate re-derive the split per output row (measured 8x:
+        # 1.66s -> 0.22s on the sf0.1 event explode)
+        df.withColumn("_fw", words)
+        .select(
             F.col(id_col),
-            F.explode(words).alias("term"),
-            F.size(words).alias("_len"),
+            F.explode(F.col("_fw")).alias("term"),
+            F.size(F.col("_fw")).alias("_len"),
         )
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("cnt"), F.first("_len").alias("_len"))
