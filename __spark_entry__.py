@@ -508,11 +508,17 @@ def q_minhash_signature(spark, sf):
     # broadcast join (n_epochs even round-tripped through an explode whose
     # count is by construction the epoch_counts value), which the oracle
     # never needed. Plan: 4 scans/2 joins, was 7 scans/4 joins.
+    # min over DISTINCT words == min over all words (the seeded hash is a
+    # pure function of the word), and duplicates are the majority of tokens
+    # in natural text — hashing each distinct word once cuts the md5 count
+    # ~40% here (measured 1.46s -> 0.98s; HOF lambdas evaluate interpreted,
+    # so every hash avoided counts double)
+    uw = F.array_distinct(wds)
     base = d.select(
         "doc_id",
         "source",
         *[
-            F.array_min(F.transform(wds, seed_hash(f"s{i}:"))).alias(f"mh{i}")
+            F.array_min(F.transform(uw, seed_hash(f"s{i}:"))).alias(f"mh{i}")
             for i in range(4)
         ],
         F.size(wds).alias("n_tokens"),

@@ -254,8 +254,12 @@ def connected_components(
     round replays every prior one. On a real cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
     executor-loss resilience; localCheckpoint is the single-node stand-in.
-    Raises ``RuntimeError`` if not converged within ``max_iterations`` —
-    never returns a partially-merged clustering silently.
+    Raises ``RuntimeError`` if not converged within ``max_iterations``.
+    Convergence is detected by a checksum-grade statistic (count +
+    bit_xor + decimal-sum of xxhash64 over the canonical edge set), so a
+    partially-merged clustering can escape only via a two-statistic
+    64-bit hash coincidence at equal cardinality (~2^-128 per round) —
+    a checksum bound, not a certainty.
     """
     def edge_stats(e: DataFrame) -> tuple:
         # ONE action per round: the fixpoint test compares (count,
@@ -378,8 +382,11 @@ def dedup_lines(
     also certify collision absence."""
     # F.split takes a REGEX; array_join re-joins literally — quote the
     # separator so a sep like '. ' splits on the literal string, not on
-    # "any char + space" (\\Q..\\E is Java's Pattern.quote)
-    sep_re = "\\Q" + sep + "\\E"
+    # "any char + space". \\Q..\\E is Java's Pattern.quote, and like
+    # Pattern.quote the embedded sequence \\E must be escaped per segment
+    # (a separator containing literal \\E would otherwise terminate the
+    # quote early and mis-split or throw)
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("_pos", "_line"),

@@ -279,6 +279,7 @@ def ngram_lm_perplexity(
     train_df: DataFrame | None = None,
     k: float = 0.1,
     broadcast_lm: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-doc perplexity under an add-k-smoothed bigram LM trained on
     ``train_df`` (default: the scored corpus itself) — the CCNet-style
@@ -320,6 +321,11 @@ def ngram_lm_perplexity(
     bigrams = train_events.groupBy("prev", "cur").agg(
         F.count("*").alias("_cpc")
     ).persist()
+    if cache_registry is not None:
+        # explicit release handle: a long-lived session scoring many corpora
+        # accumulates one persisted LM per call until LRU pressure evicts —
+        # callers that care pass a list and unpersist() when done scoring
+        cache_registry.append(bigrams)
     contexts = bigrams.groupBy("prev").agg(F.sum("_cpc").alias("_cp"))
     # vocab size as ONE bounded driver scalar off the persisted (vocab-
     # bounded, never corpus-bounded) LM table — r07: replaces a

@@ -161,6 +161,13 @@ def _budget_admit_fn(source_budgets: dict[str, int], default_budget: int):
             )
             # deterministic within-batch order: arrival time, then id
             pdf = pdf.sort_values(["ts", "doc_id"], ignore_index=True)
+            if pdf["n_tokens"].isna().any():
+                raise ValueError(
+                    "budget admission: null n_tokens in admitted rows — "
+                    "the strict cumulative budget needs a non-null token "
+                    "count on every row (same contract as "
+                    "select_by_token_budget's null-token guard)"
+                )
             run = cum + pdf["n_tokens"].to_numpy("int64").cumsum()
             keep = run <= budget
             cum = int(run[-1])

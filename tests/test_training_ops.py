@@ -1074,3 +1074,69 @@ def test_dedup_lines_literal_separator(spark):
     assert out.loc[0, "cleaned_text"] == "keep this"
     assert out.loc[1, "cleaned_text"] == "other words"
     assert list(out["n_removed_lines"]) == [1, 1]
+
+
+def test_dedup_lines_separator_containing_quote_end(spark):
+    """A separator containing the literal sequence ``\\E`` must still split
+    literally — Java's \\Q..\\E quoting terminates at an embedded \\E, so
+    the operator escapes it per segment (Pattern.quote's own rule)."""
+    from daily_journal_dataflow_qc_spark.operators.dedup import dedup_lines
+
+    sep = "\\E|"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [f"keep this{sep}shared tail", f"other words{sep}shared tail"],
+        }
+    )
+    out = (
+        dedup_lines(spark.createDataFrame(pdf), sep=sep)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "cleaned_text"] == "keep this"
+    assert out.loc[1, "cleaned_text"] == "other words"
+    assert list(out["n_removed_lines"]) == [1, 1]
+
+
+def test_lm_cache_registry_exposes_persisted_table(spark):
+    """``cache_registry`` hands back the persisted LM table so callers
+    scoring many corpora can release it explicitly (ADVICE r06)."""
+    from daily_journal_dataflow_qc_spark.operators.textanalysis import (
+        ngram_lm_perplexity,
+    )
+
+    d = _docs(spark)
+    reg: list = []
+    out = ngram_lm_perplexity(d, cache_registry=reg)
+    out.collect()
+    assert len(reg) == 1 and reg[0].is_cached
+    reg[0].unpersist(blocking=True)
+    assert not reg[0].is_cached
+
+
+def test_budget_admit_rejects_null_token_counts():
+    """A null n_tokens row in the admitted store must fail the budget
+    stream with a contract message, not an opaque numpy cast error."""
+    from daily_journal_dataflow_qc_spark.streaming.corpus_ingest import (
+        _budget_admit_fn,
+    )
+
+    admit = _budget_admit_fn({"s0": 100}, 0)
+
+    class _NoState:
+        exists = False
+
+        def update(self, v):  # pragma: no cover - not reached on the raise
+            pass
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": pd.to_datetime(["2025-06-01", "2025-06-02"], utc=True),
+            "n_tokens": [10.0, None],
+        }
+    )
+    with pytest.raises(ValueError, match="null n_tokens"):
+        list(admit(("s0",), iter([pdf]), _NoState()))
