@@ -539,8 +539,13 @@ def q_minhash_signature(spark, sf):
     # (round 6) DSIR importance weight (operators/sampling.py: hashed
     # unigram+bigram target-vs-raw log-likelihood ratio, add-0.01 over 10k
     # buckets) against a deterministic target slice (doc_id % 10 == 0 — the
-    # "curated reference" stand-in); zero-feature docs coalesce to 0
-    dsir = dsir_logweights(d, d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0))
+    # "curated reference" stand-in); zero-feature docs coalesce to 0.
+    # r07: the slice is a row-subset of d, so target_filter derives BOTH
+    # distributions from the one (doc, bucket) count pass — no target-side
+    # re-scan/re-explode/re-hash (provably identical; see the operator doc)
+    dsir = dsir_logweights(
+        d, target_filter=F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
     return (
         packed.join(F.broadcast(flagged), "doc_id", "left")
         .join(F.broadcast(dsir), "doc_id", "left")

@@ -248,13 +248,14 @@ def _hashed_ngram_events(
 
 def dsir_logweights(
     df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     alpha: float = 0.01,
     seed: str = "dsir",
     weight_col: str = "dsir_logweight",
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Per-doc log importance weight for Data Selection via Importance
     Resampling (Xie et al. 2023; public method): fit hashed-n-gram
@@ -283,11 +284,24 @@ def dsir_logweights(
     buckets carry zero counts (coalesce) and contribute zero to the
     totals. The bucket tables are bounded by construction (n_buckets, not
     vocabulary), so the broadcast NEVER outgrows the hint — hashing is
-    what makes DSIR's statistics O(1) in corpus size."""
+    what makes DSIR's statistics O(1) in corpus size.
+
+    ``target_filter`` (exclusive with ``target_df``): when the reference
+    corpus is a ROW-SUBSET of ``df`` (a curated slice selected by a
+    predicate over the scored corpus — the common self-referential setup),
+    pass the predicate instead of a frame. Both distributions then come
+    from ONE conditional aggregation over the (doc, bucket) counts — the
+    target side never re-scans, re-explodes, or re-hashes anything, and
+    the union merge disappears (every target bucket is a raw bucket by
+    construction). Identical values to the target_df form."""
     if n_buckets < 2:
         raise ValueError("dsir_logweights: n_buckets must be >= 2")
     if alpha <= 0:
         raise ValueError("dsir_logweights: alpha must be > 0 (smoothing)")
+    if (target_df is None) == (target_filter is None):
+        raise ValueError(
+            "dsir_logweights: pass exactly one of target_df / target_filter"
+        )
     # NULL-id rows are excluded up front: a per-doc weight for a null id is
     # ill-defined (they could only contribute to the raw distribution's
     # denominator). Placing this filter — and the no-op isnotnull(_bucket)
@@ -306,27 +320,39 @@ def dsir_logweights(
         .groupBy(id_col, "_bucket")
         .agg(F.count("*").alias("_n"))
     )
-    rc = dbc.groupBy("_bucket").agg(F.sum("_n").alias("_c_r"))
-    tc = (
-        _hashed_ngram_events(target_df, text_col, id_col, n_buckets, seed)
-        .groupBy("_bucket")
-        .agg(F.count("*").alias("_c_t"))
-    )
-    # bucket merge as a UNION + re-aggregate (not a full-outer join, which
-    # would plan a SortMergeJoin even for these <= n_buckets-row tables)
-    stats = (
-        rc.select("_bucket", "_c_r", F.lit(0).cast("long").alias("_c_t"))
-        .unionAll(
-            tc.select("_bucket", F.lit(0).cast("long").alias("_c_r"), "_c_t")
+    if target_filter is not None:
+        # self-referential target: both distributions from ONE aggregation
+        # over dbc (the predicate references grouping columns only, so the
+        # conditional sum sees exactly the target docs' counts)
+        merged = dbc.groupBy("_bucket").agg(
+            F.sum("_n").alias("_c_r"),
+            F.sum(F.when(target_filter, F.col("_n")).otherwise(F.lit(0))).alias(
+                "_c_t"
+            ),
         )
-        .groupBy("_bucket")
-        .agg(F.sum("_c_r").alias("_c_r"), F.sum("_c_t").alias("_c_t"))
-        .withColumns(
-            {
-                "_t_r": F.sum("_c_r").over(Window.partitionBy()),
-                "_t_t": F.sum("_c_t").over(Window.partitionBy()),
-            }
+    else:
+        rc = dbc.groupBy("_bucket").agg(F.sum("_n").alias("_c_r"))
+        tc = (
+            _hashed_ngram_events(target_df, text_col, id_col, n_buckets, seed)
+            .groupBy("_bucket")
+            .agg(F.count("*").alias("_c_t"))
         )
+        # bucket merge as a UNION + re-aggregate (not a full-outer join,
+        # which would plan a SortMergeJoin even for these <= n_buckets-row
+        # tables)
+        merged = (
+            rc.select("_bucket", "_c_r", F.lit(0).cast("long").alias("_c_t"))
+            .unionAll(
+                tc.select("_bucket", F.lit(0).cast("long").alias("_c_r"), "_c_t")
+            )
+            .groupBy("_bucket")
+            .agg(F.sum("_c_r").alias("_c_r"), F.sum("_c_t").alias("_c_t"))
+        )
+    stats = merged.withColumns(
+        {
+            "_t_r": F.sum("_c_r").over(Window.partitionBy()),
+            "_t_t": F.sum("_c_t").over(Window.partitionBy()),
+        }
     )
     contrib = F.log(
         (F.col("_c_t") + alpha) / (F.col("_t_t") + alpha * n_buckets)

@@ -59,6 +59,13 @@ STREAM_CONF = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    # map-side session pre-merge (guide §2.3, aggregate before the
+    # exchange): turns that already sit in one partition merge into
+    # partial sessions BEFORE the session-window shuffle, so the exchange
+    # carries per-partial-session rows instead of per-turn rows — the
+    # reduction grows with turns-per-session at scale. Merging is
+    # associative, output identical (A/B'd r07: hash-equal, ~2% local).
+    "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition": "true",
 }
 
 

@@ -310,9 +310,11 @@ def test_assignments_row_plan_shape(spark):
     gram + flagged-id distincts, and DSIR's shape: the raw corpus is
     exploded ONCE into a (doc, bucket) count exchange that is REUSED by
     the bucket-distribution branch (the ReusedExchange assertion — a
-    canonicalization regression shows up as a second corpus explode), one
-    bucket-keyed count exchange per corpus side, ONE 10k-row
-    SinglePartition window total, and the doc-grain weight agg."""
+    canonicalization regression shows up as a second corpus explode), ONE
+    bucket-keyed stats exchange (target_filter mode: both distributions
+    come from one conditional aggregation — there is no target-side scan,
+    explode, or exchange at all), ONE 10k-row SinglePartition window
+    total, and the doc-grain weight agg."""
     import os
 
     import __spark_entry__ as entry_mod
@@ -341,7 +343,7 @@ def test_assignments_row_plan_shape(spark):
         for l in final.splitlines()
         if "Exchange hashpartitioning(_bucket" in l
     )
-    assert n_bucket_shuffles == 2, plan
+    assert n_bucket_shuffles == 1, plan
     # the window sorts must not carry the document text (r07: minhash
     # columns are projected at the scan, text is dropped before the first
     # exchange); the stratum-rank Window's spec lists its input ordering —

@@ -405,3 +405,34 @@ def test_select_by_token_budget_rejects_bad_args(spark):
     )
     with pytest.raises(ValueError, match="null token"):
         select_by_token_budget(nul, 10, "score", "n_tokens")
+
+
+def test_dsir_target_filter_equals_target_df(spark):
+    """The self-referential ``target_filter`` form (one conditional
+    aggregation over the shared (doc, bucket) counts) returns EXACTLY the
+    weights of the equivalent ``target_df`` form — and rejects ambiguous
+    calls."""
+    from daily_journal_dataflow_qc_spark.operators.sampling import dsir_logweights
+
+    texts = {
+        i: ("formal prose with careful structure" if i % 3 == 0
+            else f"click buy now cheap token{i}")
+        for i in range(30)
+    }
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    pred = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    a = (
+        dsir_logweights(rdf, rdf.filter(pred), n_buckets=64)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    b = (
+        dsir_logweights(rdf, target_filter=pred, n_buckets=64)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert a["dsir_logweight"].tolist() == b["dsir_logweight"].tolist()
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logweights(rdf, rdf, target_filter=pred)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logweights(rdf)
