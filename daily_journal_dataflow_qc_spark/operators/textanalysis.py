@@ -333,16 +333,30 @@ def ngram_lm_perplexity(
     # on the corpus-sized scoring side and cost a separate broadcast-build
     # job; as a literal it also null-safely survives unseen contexts
     v = bigrams.agg(F.countDistinct("cur").alias("_v")).head()[0] or 0
-    if broadcast_lm:
-        bigrams, contexts = F.broadcast(bigrams), F.broadcast(contexts)
     logp = F.log(
         (F.coalesce(F.col("_cpc"), F.lit(0)) + k)
         / (F.coalesce(F.col("_cp"), F.lit(0)) + k * (F.lit(v) + 1))
     )
+    if train_df is None:
+        # SELF-train: every scored bigram event exists in the LM table by
+        # construction (same corpus), so the (prev, cur) lookup and the
+        # context-total lookup fuse into ONE broadcast join — the contexts
+        # attach to the vocab-bounded LM table (tiny x tiny join off the
+        # persisted frame), not to the corpus-sized event stream. The
+        # coalesces above then never fire but keep the expression
+        # identical to the reference-train path.
+        lm = bigrams.join(contexts, ["prev"])
+        if broadcast_lm:
+            lm = F.broadcast(lm)
+        scored = events.join(lm, ["prev", "cur"], "left")
+    else:
+        if broadcast_lm:
+            bigrams, contexts = F.broadcast(bigrams), F.broadcast(contexts)
+        scored = events.join(bigrams, ["prev", "cur"], "left").join(
+            contexts, ["prev"], "left"
+        )
     return (
-        events.join(bigrams, ["prev", "cur"], "left")
-        .join(contexts, ["prev"], "left")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count("*").alias("lm_tokens"),
             F.round(F.sum(logp), 4).alias("lm_logprob"),
