@@ -287,13 +287,15 @@ def dsir_logweights(
     what makes DSIR's statistics O(1) in corpus size.
 
     ``target_filter`` (exclusive with ``target_df``): when the reference
-    corpus is a ROW-SUBSET of ``df`` (a curated slice selected by a
-    predicate over the scored corpus — the common self-referential setup),
-    pass the predicate instead of a frame. Both distributions then come
-    from ONE conditional aggregation over the (doc, bucket) counts — the
-    target side never re-scans, re-explodes, or re-hashes anything, and
-    the union merge disappears (every target bucket is a raw bucket by
-    construction). Identical values to the target_df form."""
+    corpus is a ROW-SUBSET of ``df`` selected by a predicate over
+    ``id_col`` ALONE (a curated id slice — the common self-referential
+    setup; the predicate is evaluated against the (doc, bucket) count
+    table, which carries no other corpus column), pass the predicate
+    instead of a frame. Both distributions then come from ONE conditional
+    aggregation over the (doc, bucket) counts — the target side never
+    re-scans, re-explodes, or re-hashes anything, and the union merge
+    disappears (every target bucket is a raw bucket by construction).
+    Identical values to the target_df form."""
     if n_buckets < 2:
         raise ValueError("dsir_logweights: n_buckets must be >= 2")
     if alpha <= 0:
