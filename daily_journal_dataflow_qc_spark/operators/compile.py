@@ -159,14 +159,15 @@ def accepted_set(
 
 def issues_set(
     audio_qc_df: DataFrame,
-    requests: DataFrame,
-    returns: DataFrame,
+    requests: DataFrame | None,
+    returns: DataFrame | None,
     violated_diaries: DataFrame,
     cfg: PipelineConfig,
     tool_calls: DataFrame | None = None,
     transcript_qc: DataFrame | None = None,
     disfluencies: DataFrame | None = None,
     turn_stats: DataFrame | None = None,
+    lifecycle: DataFrame | None = None,
 ) -> DataFrame:
     """The major-issues log (flagged row set), deduped keeping the earliest
     detection date (journal_outputs_error_check.py:199-214, O4).
@@ -204,7 +205,18 @@ def issues_set(
     per sentence failed') attribute PER-FILE PROCESS crashes; a declarative
     plan either computes a stage for every surviving row or fails the job —
     there is no per-row crash state to reconcile, so they are documented
-    inapplicable (ARCHITECTURE §2 notes)."""
+    inapplicable (ARCHITECTURE §2 notes).
+
+    ``lifecycle``: a precomputed ``transcript.tool_call_lifecycle`` frame
+    (the pipeline shares one — unpersisted — copy across the round-trip
+    semi-join and every family here). When given —
+    or when ``tool_calls`` is given, from which it is derived — the
+    attempt-aware request/return sides come from that single keyed rollup
+    instead of per-family ``dedup_tool_calls`` window derivations (which
+    Catalyst cannot exchange-reuse across the families: per-consumer
+    pruning breaks canonical equality, so the un-restructured plan carried
+    56 tool-call scans and 45 exchanges). ``requests``/``returns`` are
+    ignored in that mode and may be None."""
     today = F.lit(cfg.compute_date_str)
     # tool-side reconciliation happens under the language-marked exchange
     # name (S10): requests/returns carry it from the SFTP side, so the
@@ -215,21 +227,47 @@ def issues_set(
         "conv_id",
         with_language_marker(F.col("filename"), F.col("language")).alias("request_key"),
     )
-    req = requests.select("conv_id", "request_key", "ts")
-    req_all = req  # request EXISTENCE checks (orphan / missing-request)
-    ret = returns.select("conv_id", "request_key")
+    if lifecycle is None and tool_calls is not None:
+        from .transcript import tool_call_lifecycle
+
+        lifecycle = tool_call_lifecycle(tool_calls)
 
     upload_failed = None
-    if tool_calls is not None:
+    if lifecycle is not None:
         from ..functions.naming import strip_language_marker
-        from .transcript import push_attempt_stats
 
-        exhausted = push_attempt_stats(tool_calls).filter(
-            (~F.col("returned")) & (F.col("n_attempts") >= cfg.max_push_attempts)
-        ).select("conv_id", "request_key")
+        # every request/return side below is a row-filter of the ONE keyed
+        # rollup: dedup_tool_calls membership == the kind-existence flags,
+        # the first-arrival ts == the null-first struct-min (see
+        # tool_call_lifecycle), and the anti-join-vs-exhausted == the
+        # negated exhausted predicate (lifecycle is one row per key).
+        # returned/n_attempts are non-null wherever has_request is true, so
+        # the negation cannot null-drop a key the anti-join would keep.
+        _exh = (~F.col("returned")) & (
+            F.col("n_attempts") >= cfg.max_push_attempts
+        )
         # reconciliations below track files that reached the tool — a never-
         # uploaded file is neither pending nor accountable on the tool side
-        req = req.join(exhausted, ["conv_id", "request_key"], "left_anti")
+        req = lifecycle.filter(F.col("has_request") & ~_exh).select(
+            "conv_id", "request_key", F.col("first_request_ts").alias("ts")
+        )
+        req_all = lifecycle.filter("has_request").select(
+            "conv_id", "request_key"
+        )  # request EXISTENCE checks (missing-request)
+        ret = lifecycle.filter("returned").select("conv_id", "request_key")
+        exhausted = lifecycle.filter(_exh).select("conv_id", "request_key")
+        # req-vs-ret relations collapse to row predicates — both sides live
+        # on the SAME lifecycle row, so the anti/semi joins the legacy
+        # branch needs become filters (3 fewer joins in the issues plan)
+        no_return = lifecycle.filter(
+            F.col("has_request") & ~_exh & ~F.col("returned")
+        ).select("conv_id", "request_key", F.col("first_request_ts").alias("ts"))
+        orphan_src = lifecycle.filter(
+            F.col("returned") & ~F.col("has_request")
+        ).select("conv_id", "request_key")
+        round_trip = lifecycle.filter(
+            F.col("has_request") & F.col("returned")
+        ).select("conv_id", "request_key")
         # flag under the LOCAL name: the stuck file sits in audio_to_send
         # before the S10 rename. Language comes from the conversation's QC
         # rows; with none (e.g. consent missing) the marked key is kept —
@@ -246,6 +284,16 @@ def issues_set(
                 "request_key"
             ),
         )
+    else:
+        # attempt-UNAWARE mode (no raw tool_calls): the caller hands the
+        # already-deduped request/return frames (the reconciliation driver
+        # query builds them directly)
+        req = requests.select("conv_id", "request_key", "ts")
+        req_all = req  # request EXISTENCE checks (orphan / missing-request)
+        ret = returns.select("conv_id", "request_key")
+        no_return = req.join(ret, ["conv_id", "request_key"], "left_anti")
+        orphan_src = ret.join(req_all, ["conv_id", "request_key"], "left_anti")
+        round_trip = None  # completed-audio runs its two semi-joins below
 
     def flag(df: DataFrame, stage: str, msg: str) -> DataFrame:
         return df.select(
@@ -258,18 +306,14 @@ def issues_set(
 
     # J7: request with no return, older than the deadline -> pending flag
     pending = flag(
-        req.join(ret, ["conv_id", "request_key"], "left_anti").filter(
+        no_return.filter(
             F.datediff(F.to_date(today), F.to_date("ts")) >= cfg.pending_deadline_days
         ),
         "pre-transcript",
         MSG_PENDING,
     )
     # J6: return with no request (orphan)
-    orphan = flag(
-        ret.join(req_all, ["conv_id", "request_key"], "left_anti"),
-        "pre-wav",
-        MSG_ORPHAN_RETURN,
-    )
+    orphan = flag(orphan_src, "pre-wav", MSG_ORPHAN_RETURN)
     # J6: request whose diary is not in the accepted audio QC set
     no_qc = flag(
         req.join(accepted_keys, ["conv_id", "request_key"], "left_anti"),
@@ -354,32 +398,41 @@ def issues_set(
             )
         )
     if turn_stats is not None:
-        completed = (
-            audio_qc_df.filter(F.col("audio_approved_bool") == 1)
-            .select(
-                *diary_key,
-                "filename",
-                with_language_marker(
-                    F.col("filename"), F.col("language")
-                ).alias("_marked"),
-            )
-            .join(
-                req_all.select(
+        accepted_marked = audio_qc_df.filter(
+            F.col("audio_approved_bool") == 1
+        ).select(
+            *diary_key,
+            "filename",
+            with_language_marker(F.col("filename"), F.col("language")).alias(
+                "_marked"
+            ),
+        )
+        if round_trip is not None:
+            # lifecycle mode: round-trip membership is ONE key set (the
+            # request/return existence conjunction), not two semi-joins
+            completed = accepted_marked.join(
+                round_trip.select(
                     "conv_id", F.col("request_key").alias("_marked")
                 ),
                 ["conv_id", "_marked"],
                 "left_semi",
             )
-            .join(
+        else:
+            completed = accepted_marked.join(
+                req_all.select(
+                    "conv_id", F.col("request_key").alias("_marked")
+                ),
+                ["conv_id", "_marked"],
+                "left_semi",
+            ).join(
                 ret.select("conv_id", F.col("request_key").alias("_marked")),
                 ["conv_id", "_marked"],
                 "left_semi",
             )
-            .join(
-                violated_diaries.select("conv_id", "filename"),
-                ["conv_id", "filename"],
-                "left_anti",
-            )
+        completed = completed.join(
+            violated_diaries.select("conv_id", "filename"),
+            ["conv_id", "filename"],
+            "left_anti",
         )
         ts_ids = turn_stats.select(
             *[F.col(c).alias(f"_ts_{c}") for c in diary_key]

@@ -71,6 +71,46 @@ def push_attempt_stats(tool_calls: DataFrame) -> DataFrame:
     )
 
 
+def tool_call_lifecycle(tool_calls: DataFrame) -> DataFrame:
+    """ONE keyed rollup of the raw tool-call stream carrying everything the
+    request/return reconciliation families need, per (conv_id, request_key):
+
+    * ``n_attempts``        — distinct request timestamps (push_attempt_stats
+      semantics: verbatim re-deliveries share a ts and count once),
+    * ``first_request_ts``  — the first-ARRIVAL request ts, i.e. the ts of
+      the row ``dedup_tool_calls(.., "request")`` keeps: a row_number window
+      ordered by ts ascending puts NULL ts first, so the struct-min below
+      ranks (ts IS NOT NULL, ts) — a null-ts request row yields NULL here,
+      exactly like the window pick (a plain min(ts) would skip the null and
+      silently substitute a later real timestamp),
+    * ``has_request`` / ``returned`` — kind existence flags.
+
+    Replaces the per-family ``dedup_tool_calls`` window derivations in the
+    batch pipeline: the un-restructured issues plan re-derived the
+    (conv_id, request_key) window dedup up to 15x (56 parquet scans, 45
+    exchanges, ZERO ReusedExchange — constraint pushdown and per-consumer
+    column pruning break canonical equality, the same failure mode as
+    dsir_logweights' diamond). One map-side-combined aggregation has no
+    such reuse problem, no sort, and bounded groups (retries per key are
+    capped by the reference's 10-attempt loop), so it is the 100-TB shape
+    as well as the local one."""
+    is_req = F.col("kind") == "request"
+    first_arrival = F.min(
+        F.when(
+            is_req,
+            F.struct(
+                F.col("ts").isNotNull().alias("nn"), F.col("ts").alias("v")
+            ),
+        )
+    )
+    return tool_calls.groupBy("conv_id", "request_key").agg(
+        F.countDistinct(F.when(is_req, F.col("ts"))).cast("int").alias("n_attempts"),
+        first_arrival["v"].alias("first_request_ts"),
+        F.max(is_req).alias("has_request"),
+        F.max(F.col("kind") == "return").alias("returned"),
+    )
+
+
 def clear_resolved_push_errors(
     issues_log: DataFrame, tool_calls: DataFrame, conv_language: DataFrame
 ) -> DataFrame:
@@ -179,7 +219,10 @@ def mindlamp_json_bug_adjust(
 
 
 def returned_accepted_diaries(
-    audio_qc_df: DataFrame, requests: DataFrame, returns: DataFrame
+    audio_qc_df: DataFrame,
+    requests: DataFrame | None,
+    returns: DataFrame | None,
+    lifecycle: DataFrame | None = None,
 ) -> DataFrame:
     """Accepted diaries whose transcript round-trip completed (J8 inner path).
 
@@ -188,13 +231,24 @@ def returned_accepted_diaries(
     rename, journal_transcribeme_sftp_push.py:177; the pull looks the
     finished transcript up under the same marked name,
     journal_transcribeme_sftp_pull.py:52-53).
-    """
+
+    ``lifecycle`` (a ``tool_call_lifecycle`` frame, usually the pipeline's
+    persisted copy): the round-trip key set is read off its
+    ``has_request AND returned`` flags — one aggregation instead of two
+    window dedups joined, identical membership (both ``dedup_tool_calls``
+    frames are one row per key, so their inner join IS the conjunction of
+    the kind-existence flags)."""
     accepted = audio_qc_df.filter(F.col("audio_approved_bool") == 1).withColumn(
         "_tool_key", with_language_marker(F.col("filename"), F.col("language"))
     )
-    req_keys = requests.select("conv_id", F.col("request_key").alias("_tool_key"))
-    ret_keys = returns.select("conv_id", F.col("request_key").alias("_tool_key"))
-    round_trip = req_keys.join(ret_keys, ["conv_id", "_tool_key"], "inner")
+    if lifecycle is not None:
+        round_trip = lifecycle.filter(
+            F.col("has_request") & F.col("returned")
+        ).select("conv_id", F.col("request_key").alias("_tool_key"))
+    else:
+        req_keys = requests.select("conv_id", F.col("request_key").alias("_tool_key"))
+        ret_keys = returns.select("conv_id", F.col("request_key").alias("_tool_key"))
+        round_trip = req_keys.join(ret_keys, ["conv_id", "_tool_key"], "inner")
     return accepted.join(round_trip, ["conv_id", "_tool_key"], "left_semi").drop(
         "_tool_key"
     )

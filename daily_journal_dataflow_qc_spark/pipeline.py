@@ -66,10 +66,20 @@ def run_batch(
     if persist_intermediates:
         qc = qc.persist()
 
-    # tool-call round trip (J8 batch form)
-    requests = transcript_ops.dedup_tool_calls(tool_calls, "request")
-    returns = transcript_ops.dedup_tool_calls(tool_calls, "return")
-    returned = transcript_ops.returned_accepted_diaries(qc, requests, returns)
+    # tool-call round trip (J8 batch form): ONE keyed rollup shape of the
+    # tool-call stream feeds the round-trip semi-join AND every issues
+    # reconciliation family (the per-family dedup_tool_calls windows were
+    # re-derived up to 15x in the issues plan — Catalyst cannot exchange-
+    # reuse them across consumers once pruning specializes each copy).
+    # Deliberately NOT persisted: the blocking cache build lands on the
+    # heavy staged/cached write's critical path and was A/B-measured to
+    # cost more than the sub-second per-consumer re-aggregations it saves
+    # (which overlap inside the concurrent output jobs) — the same verdict
+    # as the rejected requests/returns persist.
+    lifecycle = transcript_ops.tool_call_lifecycle(tool_calls)
+    returned = transcript_ops.returned_accepted_diaries(
+        qc, None, None, lifecycle=lifecycle
+    )
 
     # transcript side: join (prunes to returned-accepted turns) -> ts-side
     # gap windows (reuse the sessionize sort) -> redaction UDF -> text-side
@@ -106,7 +116,7 @@ def run_batch(
     # construction — and handing the per-turn frame here would re-derive the
     # whole heavy pass (windows + redaction UDF) just to materialize issues.
     issues = compile_ops.issues_set(
-        qc, requests, returns, violated, cfg, tool_calls=tool_calls,
+        qc, None, None, violated, cfg, lifecycle=lifecycle,
         transcript_qc=tqc, disfluencies=disf,
         turn_stats=tqc.select("conv_id", "day", "daily_submission_number"),
     )
@@ -174,9 +184,12 @@ def run_batch_staged(
     diaries = diary_ops.diary_identity(sessioned, conv_meta, cfg)
     qc = diary_ops.audio_qc(diaries, cfg).persist()  # diary-level: small
 
-    requests = transcript_ops.dedup_tool_calls(tool_calls, "request")
-    returns = transcript_ops.dedup_tool_calls(tool_calls, "return")
-    returned = transcript_ops.returned_accepted_diaries(qc, requests, returns)
+    # ONE tool-call rollup shape for the round trip + issues families
+    # (unpersisted — see run_batch for the A/B'd reasoning)
+    lifecycle = transcript_ops.tool_call_lifecycle(tool_calls)
+    returned = transcript_ops.returned_accepted_diaries(
+        qc, None, None, lifecycle=lifecycle
+    )
 
     # THE heavy pass: join (prunes to returned-accepted turns) -> ts-side
     # gap windows -> redaction UDF -> text-side metric projections -> one
@@ -224,7 +237,7 @@ def run_batch_staged(
     # diary-grain turn_stats evidence (see run_batch): equal identity set,
     # no extra pruned scan of the staged table per issues materialization
     issues = compile_ops.issues_set(
-        qc, requests, returns, violated, cfg, tool_calls=tool_calls,
+        qc, None, None, violated, cfg, lifecycle=lifecycle,
         transcript_qc=tqc, disfluencies=disf,
         turn_stats=tqc.select("conv_id", "day", "daily_submission_number"),
     )

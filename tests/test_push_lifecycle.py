@@ -127,6 +127,95 @@ def test_push_attempts_ignore_verbatim_redeliveries(spark):
     assert att["n_attempts"] == 3
 
 
+def test_tool_call_lifecycle_matches_window_derivations(spark, cfg):
+    """r07 restructure guard: every request/return side issues_set derives
+    from the ONE tool_call_lifecycle rollup must equal the dedup_tool_calls
+    window / push_attempt_stats derivations it replaced — including the
+    null-ts first arrival (row_number orderBy ts puts NULL FIRST; the
+    rollup's struct-min must pick the same NULL, not the later real ts)."""
+    from daily_journal_dataflow_qc_spark.operators.transcript import (
+        tool_call_lifecycle,
+    )
+
+    rows = []
+    # k1: verbatim re-deliveries + genuine retries, returned
+    for a in (0, 0, 5, 10):
+        rows.append(("k1", "f1.wav", "request",
+                     pd.Timestamp("2023-03-01 10:00:00") + pd.Timedelta(seconds=a)))
+    rows.append(("k1", "f1.wav", "return", pd.Timestamp("2023-03-02 10:00:00")))
+    # k2: orphan return (no request at all)
+    rows.append(("k2", "f2.wav", "return", pd.Timestamp("2023-03-01 11:00:00")))
+    # k4: exhausted — max_push_attempts distinct request ts, no return
+    for a in range(cfg.max_push_attempts):
+        rows.append(("k4", "f4.wav", "request",
+                     pd.Timestamp("2023-03-01 13:00:00") + pd.Timedelta(seconds=5 * a)))
+    # k5: single old pending request
+    rows.append(("k5", "f5.wav", "request", pd.Timestamp("2023-01-01 08:00:00")))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "request_key", "kind", "ts"])
+    pdf["tool"] = "transcribeme"
+    pdf["payload"] = None
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.tz_localize("UTC")
+    tc = spark.createDataFrame(
+        pdf[["conv_id", "request_key", "kind", "tool", "ts", "payload"]],
+        schema=schemas.TOOL_CALLS,
+    )
+
+    life = {(r["conv_id"], r["request_key"]): r
+            for r in tool_call_lifecycle(tc).collect()}
+    from pyspark.sql import functions as F
+
+    # request existence + first-arrival ts == the window dedup's kept row
+    req_win = {(r["conv_id"], r["request_key"]): r["ts"]
+               for r in dedup_tool_calls(tc, "request").collect()}
+    assert {k for k, r in life.items() if r["has_request"]} == set(req_win)
+    for k, ts in req_win.items():
+        assert life[k]["first_request_ts"] == ts, (k, life[k], ts)
+    # return existence == the return-side window dedup
+    ret_win = {(r["conv_id"], r["request_key"])
+               for r in dedup_tool_calls(tc, "return").collect()}
+    assert {k for k, r in life.items() if r["returned"]} == ret_win
+    # exhausted predicate == the push_attempt_stats filter
+    exh_old = {(r["conv_id"], r["request_key"])
+               for r in push_attempt_stats(tc).filter(
+                   (~F.col("returned"))
+                   & (F.col("n_attempts") >= cfg.max_push_attempts)).collect()}
+    exh_new = {k for k, r in life.items()
+               if r["has_request"] and not r["returned"]
+               and r["n_attempts"] >= cfg.max_push_attempts}
+    assert exh_new == exh_old == {("k4", "f4.wav")}
+
+    # returned_accepted_diaries: lifecycle fast path == the two-window join
+    from daily_journal_dataflow_qc_spark.operators.transcript import (
+        returned_accepted_diaries,
+    )
+
+    qc = spark.createDataFrame(
+        [("k1", "f1.wav", "", 1), ("k4", "f4.wav", "", 1), ("k5", "f5.wav", "", 0)],
+        "conv_id string, filename string, language string, audio_approved_bool int",
+    )
+    old = returned_accepted_diaries(
+        qc, dedup_tool_calls(tc, "request"), dedup_tool_calls(tc, "return")
+    )
+    new = returned_accepted_diaries(qc, None, None, lifecycle=tool_call_lifecycle(tc))
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    assert [r["conv_id"] for r in new.collect()] == ["k1"]
+
+    # NULL-ts robustness (schemas.TOOL_CALLS pins ts non-null, but the
+    # rollup must not silently substitute a later real timestamp if fed a
+    # relaxed frame): the window dedup keeps the NULL-FIRST row — so must
+    # the struct-min
+    import datetime as _dt
+
+    relaxed = spark.createDataFrame(
+        [("k3", "f3.wav", "request", None),
+         ("k3", "f3.wav", "request", _dt.datetime(2023, 3, 1, 12, 0, 0))],
+        "conv_id string, request_key string, kind string, ts timestamp",
+    )
+    win_ts = dedup_tool_calls(relaxed, "request").collect()[0]["ts"]
+    roll_ts = tool_call_lifecycle(relaxed).collect()[0]["first_request_ts"]
+    assert win_ts is None and roll_ts is None
+
+
 def test_clear_resolved_return_errors(spark):
     """manual_update_utilities/transcribeme_return_error_clear.py parity:
     a stale 'pending return > 2 weeks' row clears ONLY when the file left
